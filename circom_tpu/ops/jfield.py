@@ -1,0 +1,286 @@
+"""Batched prime-field arithmetic in JAX over base-2^16 limb planes.
+
+An element batch is ``uint32[..., L]`` (little-endian 16-bit limbs in 32-bit
+lanes).  Multiplication is vectorized Montgomery CIOS: the per-limb loops run
+at trace time (L iterations of fully batched VPU ops), so one `mont_mul`
+costs ~O(L^2) elementwise uint32 ops over the whole batch — no 64-bit
+integers, no data-dependent control flow, XLA-fusable.
+
+Two value domains exist at the tape level:
+  * MONT — x*R mod p (R = 2^(16L)); used for mul/div/pow chains.
+  * NORM — canonical [0, p); required by comparisons, bit ops, shifts and
+    the .wtns output (long-normal form, reference:
+    code_producers/src/c_elements/common/main.cpp:288-335).
+
+Semantics of comparisons/shifts/bit ops follow the reference BigInt layer
+(circom_algebra/src/modular_arithmetic.rs); see field/hostfield.py for the
+host oracle these are tested against.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field.primes import LIMB_BITS, FieldSpec
+from .limbs import spec_constants
+
+MASK = (1 << LIMB_BITS) - 1
+
+
+class JaxField:
+    """Field-op kernel library for one prime, acting on uint32[..., L]."""
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        c = spec_constants(spec)
+        self.L = c["L"]
+        self.p = c["p"]
+        self.n0inv = np.uint32(c["n0inv"])
+        self.p_limbs = jnp.asarray(c["p_limbs"])
+        self.R2_limbs = jnp.asarray(c["R2_limbs"])
+        self.one_mont = jnp.asarray(c["one_mont_limbs"])
+        self.mask_limbs = jnp.asarray(c["mask_limbs"])
+        self.half_limbs = jnp.asarray(c["half_limbs"])
+        self.zero_limbs = jnp.zeros(self.L, jnp.uint32)
+        self.one_limbs = jnp.zeros(self.L, jnp.uint32).at[0].set(1)
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+    def _cond_sub_p(self, r, extra_top):
+        """r (uint32 limbs, < p + 2^16L) + extra_top*2^16L < 2p  ->  canonical.
+
+        Subtracts p when the (L+1)-limb value >= p; branch-free select.
+        """
+        L = self.L
+        d = r.astype(jnp.int32) - self.p_limbs.astype(jnp.int32)
+        limbs = []
+        borrow = jnp.zeros(r.shape[:-1], jnp.int32)
+        for i in range(L):
+            v = d[..., i] - borrow
+            limbs.append((v & MASK).astype(jnp.uint32))
+            borrow = -(v >> LIMB_BITS)  # 0 or 1
+        sub = jnp.stack(limbs, axis=-1)
+        take_sub = (extra_top.astype(jnp.int32) - borrow) >= 0  # r+top*B >= p
+        return jnp.where(take_sub[..., None], sub, r)
+
+    def _carry16(self, cols):
+        """Sequential carry propagation of uint32 columns -> (limbs, carry)."""
+        n = cols.shape[-1]
+        carry = jnp.zeros(cols.shape[:-1], jnp.uint32)
+        limbs = []
+        for i in range(n):
+            t = cols[..., i] + carry
+            limbs.append(t & MASK)
+            carry = t >> LIMB_BITS
+        return jnp.stack(limbs, axis=-1), carry
+
+    def _ult(self, a, b):
+        """Unsigned a < b over limb arrays -> bool (...,)."""
+        borrow = jnp.zeros(a.shape[:-1], jnp.int32)
+        for i in range(self.L):
+            v = a[..., i].astype(jnp.int32) - b[..., i].astype(jnp.int32) - borrow
+            borrow = -(v >> LIMB_BITS)
+        return borrow > 0
+
+    def _is_neg(self, a):
+        """Signed-convention negativity: a > p//2 (modular_arithmetic.rs:154)."""
+        return self._ult(jnp.broadcast_to(self.half_limbs, a.shape), a)
+
+    # ------------------------------------------------------------------
+    # ring ops (domain-agnostic: work in both MONT and NORM)
+    # ------------------------------------------------------------------
+    def add(self, a, b):
+        limbs, carry = self._carry16(a + b)
+        return self._cond_sub_p(limbs, carry)
+
+    def sub(self, a, b):
+        v = (a + self.p_limbs).astype(jnp.int32) - b.astype(jnp.int32)
+        carry = jnp.zeros(a.shape[:-1], jnp.int32)
+        limbs = []
+        for i in range(self.L):
+            t = v[..., i] + carry
+            limbs.append((t & MASK).astype(jnp.uint32))
+            carry = t >> LIMB_BITS
+        r = jnp.stack(limbs, axis=-1)
+        return self._cond_sub_p(r, carry.astype(jnp.uint32))
+
+    def neg(self, a):
+        return self.sub(jnp.broadcast_to(self.zero_limbs, a.shape), a)
+
+    def mont_mul(self, a, b):
+        """(aR)(bR)R^-1 = abR mod p — vectorized CIOS over 16-bit limbs."""
+        L = self.L
+        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        cols = jnp.zeros(shape + (2 * L + 1,), jnp.uint32)
+        for i in range(L):
+            prod = a[..., i : i + 1] * b  # exact: < 2^32
+            cols = cols.at[..., i : i + L].add(prod & MASK)
+            cols = cols.at[..., i + 1 : i + L + 1].add(prod >> LIMB_BITS)
+        carry = jnp.zeros(shape, jnp.uint32)
+        for i in range(L):
+            t = cols[..., i] + carry
+            m = (t * self.n0inv) & MASK
+            mp = m[..., None] * self.p_limbs  # exact: < 2^32
+            carry = (t + (mp[..., 0] & MASK)) >> LIMB_BITS
+            if L > 1:
+                cols = cols.at[..., i + 1 : i + L].add(mp[..., 1:] & MASK)
+            cols = cols.at[..., i + 1 : i + L + 1].add(mp >> LIMB_BITS)
+        limbs = []
+        for k in range(L, 2 * L + 1):
+            t = cols[..., k] + carry
+            limbs.append(t & MASK)
+            carry = t >> LIMB_BITS
+        r = jnp.stack(limbs[:L], axis=-1)
+        return self._cond_sub_p(r, limbs[L])
+
+    def to_mont(self, a):
+        return self.mont_mul(a, self.R2_limbs)
+
+    def from_mont(self, a):
+        return self.mont_mul(a, self.one_limbs)
+
+    def mul_norm(self, a, b):
+        """Product of two NORM-domain values, NORM result (2 Montgomery muls)."""
+        return self.mont_mul(self.mont_mul(a, b), self.R2_limbs)
+
+    def pow_mont(self, a, e):
+        """a^e with a in MONT form, static Python-int exponent e >= 0.
+
+        Uniform fori_loop over the bits of e keeps the XLA graph O(1) in e.
+        """
+        if e == 0:
+            return jnp.broadcast_to(self.one_mont, a.shape)
+        nbits = e.bit_length()
+        ebits = jnp.asarray(
+            np.array([(e >> i) & 1 for i in range(nbits)], np.bool_)
+        )
+
+        def body(i, acc):
+            # left-to-right square-and-multiply
+            acc = self.mont_mul(acc, acc)
+            bit = ebits[nbits - 1 - i]
+            return jnp.where(bit, self.mont_mul(acc, a), acc)
+
+        init = jnp.broadcast_to(self.one_mont, a.shape)
+        return jax.lax.fori_loop(0, nbits, body, init)
+
+    def inv_mont(self, a):
+        """Fermat inversion a^(p-2); 0 maps to 0 (the compiler rejects /0
+        when it can; runtime semantics raise in the host path)."""
+        return self.pow_mont(a, self.p - 2)
+
+    def div_mont(self, a, b):
+        return self.mont_mul(a, self.inv_mont(b))
+
+    # ------------------------------------------------------------------
+    # NORM-domain ops (comparisons, bit ops, shifts, booleans)
+    # ------------------------------------------------------------------
+    def _bit(self, cond):
+        """bool (...,) -> {0,1} field value in NORM limbs."""
+        z = jnp.zeros(cond.shape + (self.L,), jnp.uint32)
+        return z.at[..., 0].set(cond.astype(jnp.uint32))
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+    def as_bool(self, a):
+        return jnp.any(a != 0, axis=-1)
+
+    def eq(self, a, b):
+        return self._bit(jnp.all(a == b, axis=-1))
+
+    def neq(self, a, b):
+        return self._bit(jnp.any(a != b, axis=-1))
+
+    def _lt_signed(self, a, b):
+        na, nb = self._is_neg(a), self._is_neg(b)
+        return jnp.where(na ^ nb, na, self._ult(a, b))
+
+    def lt(self, a, b):
+        return self._bit(self._lt_signed(a, b))
+
+    def le(self, a, b):
+        return self._bit(~self._lt_signed(b, a))
+
+    def gt(self, a, b):
+        return self._bit(self._lt_signed(b, a))
+
+    def ge(self, a, b):
+        return self._bit(~self._lt_signed(a, b))
+
+    def bool_and(self, a, b):
+        return self._bit(self.as_bool(a) & self.as_bool(b))
+
+    def bool_or(self, a, b):
+        return self._bit(self.as_bool(a) | self.as_bool(b))
+
+    def bool_not(self, a):
+        return self._bit(self.is_zero(a))
+
+    def bit_and(self, a, b):
+        return a & b  # <= min(a,b) < p
+
+    def bit_or(self, a, b):
+        r = a | b  # < 2^bits <= 2p - 1
+        return self._cond_sub_p(r, jnp.zeros(r.shape[:-1], jnp.uint32))
+
+    def bit_xor(self, a, b):
+        r = a ^ b
+        return self._cond_sub_p(r, jnp.zeros(r.shape[:-1], jnp.uint32))
+
+    def complement(self, a):
+        """~a over p.bit_length() bits, mod p (modular_arithmetic.rs:94-109)."""
+        r = a ^ self.mask_limbs
+        return self._cond_sub_p(r, jnp.zeros(r.shape[:-1], jnp.uint32))
+
+    def shift_r_const(self, a, k: int):
+        """a >> k, static k already wrap-normalized to [0, bits)."""
+        L, q, r = self.L, k // LIMB_BITS, k % LIMB_BITS
+        z = jnp.zeros_like(a[..., 0])
+        out = []
+        for j in range(L):
+            lo = a[..., j + q] if j + q < L else z
+            hi = a[..., j + q + 1] if j + q + 1 < L else z
+            v = (lo >> r) | ((hi << (LIMB_BITS - r)) & MASK) if r else lo
+            out.append(v)
+        return jnp.stack(out, axis=-1)
+
+    def shift_l_const(self, a, k: int):
+        """(a << k) & mask, mod p; static k in [0, bits)."""
+        L, q, r = self.L, k // LIMB_BITS, k % LIMB_BITS
+        z = jnp.zeros_like(a[..., 0])
+        out = []
+        for j in range(L):
+            lo = a[..., j - q] if j - q >= 0 else z
+            hi = a[..., j - q - 1] if j - q - 1 >= 0 else z
+            v = ((lo << r) & MASK) | (hi >> (LIMB_BITS - r)) if r else lo
+            out.append(v)
+        res = jnp.stack(out, axis=-1) & self.mask_limbs
+        return self._cond_sub_p(res, jnp.zeros(res.shape[:-1], jnp.uint32))
+
+    def select(self, cond_val, a, b):
+        """circom ?: — cond is a field value (NORM), picks a when nonzero."""
+        return jnp.where(self.as_bool(cond_val)[..., None], a, b)
+
+    def select_bool(self, cond, a, b):
+        return jnp.where(cond[..., None], a, b)
+
+    # host-side conversion helpers -------------------------------------
+    def encode(self, values, mont=False):
+        """List of python ints -> (N, L) device-ready numpy array."""
+        from .limbs import ints_to_limbs
+
+        R = 1 << (LIMB_BITS * self.L)
+        if mont:
+            values = [(v * R) % self.p for v in values]
+        return ints_to_limbs(values, self.L)
+
+    def decode(self, arr, mont=False):
+        from .limbs import limbs_to_ints
+
+        vals = limbs_to_ints(np.asarray(arr))
+        if mont:
+            Rinv = pow(1 << (LIMB_BITS * self.L), -1, self.p)
+            vals = [(v * Rinv) % self.p for v in vals]
+        return vals
