@@ -1,0 +1,1272 @@
+"""Circuit executor: abstract interpretation of the typed AST.
+
+Python counterpart of the reference's constraint_generation/src/execute.rs
+(4.4k LoC): one interpreter drives three value domains:
+
+* ``constrain``  — inputs are symbolic; emits R1CS constraints, memoizes
+  template instances by (template, params, input tags)
+  (executed_program.rs:37-49), and builds the DAG with
+  reference-identical signal numbering (executed_template.rs:246-362).
+* ``hostwit``    — concrete Python-int inputs; computes every signal
+  (the host witness calculator, semantics of the emitted WASM/C++
+  runtimes incl. sanity checks).
+* ``tape``       — inputs are tape refs; flattens the whole witness
+  computation into a straight-line field-op tape for the TPU backend
+  (replaces compiler/src/ + code_producers/ codegen).
+
+Component protocol follows the reference: bodies execute at instantiation
+time (inputs symbolic, execute.rs:1795-1875) in constrain mode, and at
+last-input-assigned time in witness modes (the compile-time equivalent of
+the inputCounter protocol, store_bucket.rs:660-780).
+"""
+
+from ..field.hostfield import FieldArithmeticError, HostField
+from ..frontend import ast as A
+from ..utils.reports import Report
+from . import algebra as alg
+from .algebra import AExpr, NQ, NonQuadratic
+from .dag import DAG
+from .values import (ComponentState, ExecError, SignalDecl, Slice,
+                     TemplateClosure, err, indexed_names)
+from ..backend.tape import Tape, TapeRef
+
+
+class FunctionReturn(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+# ---------------------------------------------------------------------------
+# value domains
+# ---------------------------------------------------------------------------
+class ConstrainDomain:
+    """Values are AExpr | NQ (algebra.rs ArithmeticExpression ops)."""
+
+    def __init__(self, hf: HostField):
+        self.hf = hf
+
+    def const(self, v):
+        return AExpr.number(v % self.hf.p)
+
+    def known_int(self, v):
+        if isinstance(v, AExpr) and v.is_number():
+            return v.c
+        return None
+
+    def as_cond(self, v):
+        k = self.known_int(v)
+        return None if k is None else self.hf.as_bool(k)
+
+    def values_equal(self, a, b):
+        if isinstance(a, NonQuadratic) or isinstance(b, NonQuadratic):
+            return False
+        if a.kind != b.kind:
+            return False
+        if a.kind == "number":
+            return a.c == b.c
+        if a.kind == "signal":
+            return a.sig == b.sig
+        return False
+
+    def select(self, cond, a, b):
+        return a if self.values_equal(a, b) else NQ
+
+    def infix(self, op, l, r, meta):
+        hf = self.hf
+        lk, rk = self.known_int(l), self.known_int(r)
+        if lk is not None and rk is not None:
+            try:
+                return AExpr.number(_host_infix(hf, op, lk, rk))
+            except FieldArithmeticError as e:
+                raise err(str(e), "T3001", meta)
+        if op == A.ADD:
+            return alg.add(l, r, hf)
+        if op == A.SUB:
+            return alg.sub(l, r, hf)
+        if op == A.MUL:
+            return alg.mul(l, r, hf)
+        if op == A.DIV and rk is not None:
+            if rk == 0:
+                raise err("division by zero", "T3001", meta)
+            return alg.mul(l, AExpr.number(hf.inv(rk)), hf)
+        return NQ  # any other op over unknowns is non-quadratic
+
+    def prefix(self, op, v, meta):
+        hf = self.hf
+        k = self.known_int(v)
+        if k is not None:
+            return AExpr.number(_host_prefix(hf, op, k))
+        if op == A.P_SUB:
+            return alg.neg(v, hf)
+        return NQ
+
+
+class HostWitDomain:
+    """Values are canonical Python ints; full reference arithmetic."""
+
+    def __init__(self, hf: HostField):
+        self.hf = hf
+
+    def const(self, v):
+        return v % self.hf.p
+
+    def known_int(self, v):
+        return v
+
+    def as_cond(self, v):
+        return self.hf.as_bool(v)
+
+    def select(self, cond, a, b):
+        return a if self.hf.as_bool(cond) else b
+
+    def infix(self, op, l, r, meta):
+        try:
+            return _host_infix(self.hf, op, l, r)
+        except FieldArithmeticError as e:
+            raise err(str(e), "T3001", meta)
+
+    def prefix(self, op, v, meta):
+        return _host_prefix(self.hf, op, v)
+
+
+class TapeDomain:
+    """Values are int (compile-time-known) or TapeRef; ops fold or emit."""
+
+    def __init__(self, hf: HostField, tape: Tape):
+        self.hf = hf
+        self.tape = tape
+
+    def const(self, v):
+        return v % self.hf.p
+
+    def known_int(self, v):
+        return v if isinstance(v, int) else None
+
+    def as_cond(self, v):
+        return self.hf.as_bool(v) if isinstance(v, int) else None
+
+    def ref(self, v):
+        return self.tape.const(v) if isinstance(v, int) else v
+
+    def select(self, cond, a, b):
+        if isinstance(a, int) and isinstance(b, int) and a == b:
+            return a
+        if isinstance(a, TapeRef) and isinstance(b, TapeRef) and a.id == b.id:
+            return a
+        if isinstance(cond, int):
+            return a if self.hf.as_bool(cond) else b
+        return self.tape.emit("select", self.ref(cond), self.ref(a), self.ref(b))
+
+    def infix(self, op, l, r, meta):
+        hf = self.hf
+        if isinstance(l, int) and isinstance(r, int):
+            try:
+                return _host_infix(hf, op, l, r)
+            except FieldArithmeticError as e:
+                raise err(str(e), "T3001", meta)
+        t = self.tape
+        if op in (A.SHL, A.SHR):
+            k = self.known_int(r)
+            if k is not None:
+                # wrap-normalize (modular_arithmetic.rs:111-136)
+                opc = "shl_k" if op == A.SHL else "shr_k"
+                if k > hf.half:
+                    k = hf.p - k
+                    opc = "shr_k" if opc == "shl_k" else "shl_k"
+                if k >= hf.bits:
+                    return 0
+                return t.emit(opc, self.ref(l), imm=k)
+            return t.emit("shl" if op == A.SHL else "shr", self.ref(l), self.ref(r))
+        if op == A.POW:
+            k = self.known_int(r)
+            if k is not None:
+                return t.emit("pow_k", self.ref(l), imm=k)
+            return t.emit("pow", self.ref(l), self.ref(r))
+        if op == A.INTDIV:
+            k = self.known_int(r)
+            if k is not None and k > 0 and (k & (k - 1)) == 0:
+                sh = k.bit_length() - 1
+                return t.emit("shr_k", self.ref(l), imm=sh) if sh else l
+            return t.emit("idiv", self.ref(l), self.ref(r))
+        if op == A.MOD:
+            k = self.known_int(r)
+            if k is not None and k > 0 and (k & (k - 1)) == 0:
+                return t.emit("band", self.ref(l), t.const(k - 1))
+            return t.emit("mod", self.ref(l), self.ref(r))
+        opc = _TAPE_OPC[op]
+        return t.emit(opc, self.ref(l), self.ref(r))
+
+    def prefix(self, op, v, meta):
+        if isinstance(v, int):
+            return _host_prefix(self.hf, op, v)
+        opc = {"neg": "neg", A.P_NOT: "lnot", A.P_COMPLEMENT: "bnot"}[op]
+        return self.tape.emit(opc, v)
+
+
+_TAPE_OPC = {
+    A.MUL: "mul", A.DIV: "div", A.ADD: "add", A.SUB: "sub",
+    A.LEQ: "le", A.GEQ: "ge", A.LT: "lt", A.GT: "gt",
+    A.EQ: "eq", A.NEQ: "neq", A.BOOL_OR: "lor", A.BOOL_AND: "land",
+    A.BIT_OR: "bor", A.BIT_AND: "band", A.BIT_XOR: "bxor",
+}
+
+
+def _host_infix(hf: HostField, op, l, r):
+    if op == A.MUL:
+        return hf.mul(l, r)
+    if op == A.ADD:
+        return hf.add(l, r)
+    if op == A.SUB:
+        return hf.sub(l, r)
+    if op == A.DIV:
+        return hf.div(l, r)
+    if op == A.POW:
+        return hf.pow(l, r)
+    if op == A.INTDIV:
+        return hf.idiv(l, r)
+    if op == A.MOD:
+        return hf.mod(l, r)
+    if op == A.SHL:
+        return hf.shift_l(l, r)
+    if op == A.SHR:
+        return hf.shift_r(l, r)
+    if op == A.LEQ:
+        return hf.lesser_eq(l, r)
+    if op == A.GEQ:
+        return hf.greater_eq(l, r)
+    if op == A.LT:
+        return hf.lesser(l, r)
+    if op == A.GT:
+        return hf.greater(l, r)
+    if op == A.EQ:
+        return hf.eq(l, r)
+    if op == A.NEQ:
+        return hf.not_eq(l, r)
+    if op == A.BOOL_OR:
+        return hf.bool_or(l, r)
+    if op == A.BOOL_AND:
+        return hf.bool_and(l, r)
+    if op == A.BIT_OR:
+        return hf.bit_or(l, r)
+    if op == A.BIT_AND:
+        return hf.bit_and(l, r)
+    if op == A.BIT_XOR:
+        return hf.bit_xor(l, r)
+    raise ValueError(f"unknown infix op {op}")
+
+
+def _host_prefix(hf: HostField, op, v):
+    if op == A.P_SUB:
+        return hf.neg(v)
+    if op == A.P_NOT:
+        return hf.bool_not(v)
+    if op == A.P_COMPLEMENT:
+        return hf.complement(v)
+    raise ValueError(f"unknown prefix op {op}")
+
+
+# ---------------------------------------------------------------------------
+# frames
+# ---------------------------------------------------------------------------
+class InstanceBuilder:
+    """Accumulates one template instance (ExecutedTemplate analog)."""
+
+    __slots__ = ("template", "params", "wire_order", "constraints",
+                 "connexions", "underscored", "components", "public_inputs",
+                 "tag_exports")
+
+    def __init__(self, template, params, public_inputs=()):
+        self.template = template
+        self.params = params
+        self.wire_order = []       # SignalDecl in declaration order
+        self.constraints = []      # over indexed names
+        self.connexions = []       # (name, idx_tuple, label, node_id, is_parallel)
+        self.underscored = []      # names
+        self.components = []       # (name, dims)
+        self.public_inputs = set(public_inputs)
+        self.tag_exports = {}      # signal name -> {tag: value}
+
+
+class Frame:
+    __slots__ = ("kind", "scopes", "signals", "components", "builder",
+                 "instance", "unknown_depth", "preset_inputs", "caller_meta",
+                 "name")
+
+    def __init__(self, kind, name=""):
+        self.kind = kind          # 'template' | 'function'
+        self.name = name
+        self.scopes = [{}]        # var name -> Slice
+        self.signals = {}         # name -> SignalDecl
+        self.components = {}      # name -> Slice of ComponentState|None
+        self.builder = None       # InstanceBuilder (constrain)
+        self.instance = None      # ComponentState (witness modes)
+        self.unknown_depth = 0
+        self.preset_inputs = None  # name -> Slice of values
+
+    def declare_var(self, name, slc):
+        self.scopes[-1][name] = slc
+
+    def lookup_var(self, name):
+        for s in reversed(self.scopes):
+            if name in s:
+                return s[name]
+        return None
+
+
+class Executor:
+    def __init__(self, archive, mode: str, tape: Tape = None,
+                 dag: DAG = None, memo: dict = None, sanity_check: int = 2,
+                 log_sink=None):
+        from ..field.primes import FieldSpec
+
+        self.archive = archive
+        self.hf = HostField(FieldSpec(archive.prime, archive.field_p))
+        self.mode = mode
+        self.tape = tape
+        if mode == "constrain":
+            self.domain = ConstrainDomain(self.hf)
+        elif mode == "hostwit":
+            self.domain = HostWitDomain(self.hf)
+        elif mode == "tape":
+            self.domain = TapeDomain(self.hf, tape)
+        else:
+            raise ValueError(mode)
+        self.dag = dag if dag is not None else DAG(archive.prime)
+        self.memo = memo if memo is not None else {}
+        self.sanity_check = sanity_check
+        self.log_sink = log_sink if log_sink is not None else []
+        self.instances_by_path = {}    # witness modes: path -> ComponentState
+        self.warnings = []
+
+    # -- entry points ---------------------------------------------------
+    def run_constrain(self):
+        """Execute the main call -> populated DAG (pass 1)."""
+        call = self.archive.main.call
+        if not isinstance(call, A.Call):
+            raise err("main component must be a template call", "T2001")
+        params = [self._expect_known_arg(self._eval(a, self._dummy_frame()))
+                  for a in call.args]
+        node_id = self.execute_template(
+            call.id, params, {}, public=self.archive.main.public,
+            meta=call.meta,
+        )
+        return node_id
+
+    def run_witness(self, input_values: dict):
+        """Execute main with concrete/tape inputs (pass 2).
+
+        input_values: input signal name -> int | Slice | list (row-major).
+        Returns the root ComponentState; instances_by_path maps DAG paths.
+        """
+        call = self.archive.main.call
+        params = [self._expect_known_arg(self._eval(a, self._dummy_frame()))
+                  for a in call.args]
+        root = ComponentState()
+        root.template = call.id
+        root.params = params
+        root.label = "main"
+        key = self._memo_key(call.id, params, {})
+        root.node_id = self.memo.get(key)
+        self.instances_by_path["main"] = root
+        self._run_witness_body(root, input_values, "main")
+        return root
+
+    def _dummy_frame(self):
+        f = Frame("function", "<main>")
+        return f
+
+    def _expect_known_arg(self, v):
+        if isinstance(v, Slice):
+            return Slice(v.dims, [self._expect_known_arg(x) for x in v.values])
+        k = self.domain.known_int(v)
+        if k is None:
+            raise err("main parameters must be constants", "T2002")
+        return k
+
+    # -- memoization key ------------------------------------------------
+    def _memo_key(self, template, params, input_tags):
+        def freeze(v):
+            if isinstance(v, Slice):
+                return (v.dims, tuple(freeze(x) for x in v.values))
+            return v
+
+        tag_key = tuple(sorted(
+            (s, t, val) for s, tags in input_tags.items()
+            for t, val in tags.items()
+        ))
+        return (template, tuple(freeze(p) for p in params), tag_key)
+
+    # ==================================================================
+    # pass 1: constrain-mode template execution
+    # ==================================================================
+    def execute_template(self, name, params, input_tags, public=(), meta=None):
+        """Execute (or reuse) a template instance; returns DAG node id."""
+        if name not in self.archive.templates:
+            raise err(f"unknown template '{name}'", "T2007", meta)
+        key = self._memo_key(name, params, input_tags)
+        hit = self.memo.get(key)
+        if hit is not None:
+            return hit
+        tmpl = self.archive.templates[name]
+        if len(params) != len(tmpl.args):
+            raise err(
+                f"template {name} expects {len(tmpl.args)} parameters, "
+                f"got {len(params)}", "T2005", meta,
+            )
+        frame = Frame("template", name)
+        frame.builder = InstanceBuilder(name, params, public)
+        for argname, value in zip(tmpl.args, params):
+            frame.declare_var(argname, _as_slice(self._to_domain(value)))
+        self._exec_stmt(tmpl.body, frame)
+        self._check_components_fed(frame, meta)
+        node_id = self._insert_in_dag(frame, tmpl)
+        self.memo[key] = node_id
+        return node_id
+
+    def _to_domain(self, v):
+        if isinstance(v, Slice):
+            return Slice(v.dims, [self._to_domain(x) for x in v.values])
+        if isinstance(v, int):
+            return self.domain.const(v)
+        return v
+
+    def _check_components_fed(self, frame, meta):
+        for cname, cslice in frame.components.items():
+            for cs in cslice.values:
+                if cs is not None and cs.instantiated and cs.inputs_remaining > 0:
+                    raise err(
+                        f"component '{cname}' has unassigned inputs "
+                        f"({cs.inputs_remaining} left)", "T2046", meta,
+                    )
+
+    def _insert_in_dag(self, frame, tmpl):
+        """ExecutedTemplate::insert_in_dag (executed_template.rs:246-362):
+        wires in outputs / public inputs / private inputs / intermediates
+        order, then sorted connexion edges, then constraints."""
+        b = frame.builder
+        node_id = self.dag.add_node(
+            tmpl.name, _flatten_params(b.params), tmpl.parallel,
+            tmpl.is_custom_gate,
+        )
+        node = self.dag.nodes[node_id]
+        node.id_to_elem = {}
+        wires = b.wire_order
+
+        def _add(w, adder):
+            for j, n in enumerate(indexed_names(w.name, w.dims)):
+                sid = adder(n)
+                node.id_to_elem[sid] = (w.name, j)
+
+        for w in wires:
+            if w.xtype == A.SignalType.OUTPUT:
+                _add(w, node.add_output)
+        for w in wires:
+            if w.xtype == A.SignalType.INPUT and w.name in b.public_inputs:
+                _add(w, lambda n: node.add_input(n, True))
+        for w in wires:
+            if w.xtype == A.SignalType.INPUT and w.name not in b.public_inputs:
+                _add(w, lambda n: node.add_input(n, False))
+        for w in wires:
+            if w.xtype == A.SignalType.INTERMEDIATE:
+                _add(w, node.add_intermediate)
+        node.wire_info = [
+            (w.name, w.dims, w.xtype, dict(w.tag_values)) for w in wires
+        ]
+        node.tag_exports = b.tag_exports
+        # connexions sorted by (name, indices) (executed_template.rs:313-320)
+        for (_cname, _idx, label, child_id, is_par) in sorted(
+            b.connexions, key=lambda c: (c[0], c[1])
+        ):
+            self.dag.add_edge(child_id, label, is_par)
+        node.number_of_subcomponents_indexes = sum(
+            _size_of(dims) for (_n, dims) in b.components
+        )
+        corr = node.signal_correspondence
+        for c in b.constraints:
+            node.constraints.append(_map_constraint(c, corr))
+        for uname in b.underscored:
+            sid = corr.get(uname)
+            if sid is not None:
+                node.underscored_signals.append(sid)
+        return node_id
+
+    # ==================================================================
+    # pass 2: witness-mode execution
+    # ==================================================================
+    def _run_witness_body(self, inst: ComponentState, input_values, path):
+        tmpl = self.archive.templates[inst.template]
+        frame = Frame("template", inst.template)
+        frame.instance = inst
+        frame.preset_inputs = self._prepare_inputs(inst, input_values, tmpl)
+        for argname, value in zip(tmpl.args, inst.params):
+            frame.declare_var(argname, _as_slice(self._to_domain(value)))
+        self._witness_path = path
+        self._exec_stmt(tmpl.body, frame)
+        inst.executed = True
+        # expose declared signals on the instance for witness assembly
+        inst.signals = frame.signals
+
+    def _prepare_inputs(self, inst, input_values, tmpl):
+        """Normalize user/parent input values to name -> Slice."""
+        if input_values is None:
+            return {}
+        out = {}
+        for name, v in input_values.items():
+            if isinstance(v, Slice):
+                out[name] = v
+            elif isinstance(v, (list, tuple)):
+                out[name] = _nested_to_slice(v)
+            else:
+                out[name] = Slice.scalar(v)
+        return out
+
+    # ==================================================================
+    # statement execution
+    # ==================================================================
+    def _exec_stmt(self, s, frame):
+        m = getattr(s, "meta", None)
+        if isinstance(s, A.Block):
+            frame.scopes.append({})
+            try:
+                for st in s.stmts:
+                    self._exec_stmt(st, frame)
+            finally:
+                frame.scopes.pop()
+        elif isinstance(s, A.InitializationBlock):
+            for st in s.initializations:
+                self._exec_stmt(st, frame)
+        elif isinstance(s, A.Declaration):
+            self._exec_declaration(s, frame)
+        elif isinstance(s, A.Substitution):
+            self._exec_substitution(s, frame)
+        elif isinstance(s, A.ConstraintEquality):
+            self._exec_constraint_eq(s, frame)
+        elif isinstance(s, A.IfThenElse):
+            self._exec_if(s, frame)
+        elif isinstance(s, A.While):
+            self._exec_while(s, frame)
+        elif isinstance(s, A.Return):
+            raise FunctionReturn(self._eval(s.value, frame))
+        elif isinstance(s, A.LogCall):
+            self._exec_log(s, frame)
+        elif isinstance(s, A.Assert):
+            self._exec_assert(s, frame)
+        elif isinstance(s, A.MultSubstitution):
+            raise err("tuples/anonymous components not yet desugared",
+                      "T2050", m)
+        elif isinstance(s, A.AnonymousCompStmt):
+            raise err("anonymous components not yet desugared", "T2050", m)
+        elif isinstance(s, A.UnderscoreSubstitution):
+            v = self._eval(s.rhe, frame)
+            self._record_underscore(v, frame)
+        else:
+            raise err(f"unsupported statement {type(s).__name__}", "T2051", m)
+
+    def _exec_declaration(self, s: A.Declaration, frame):
+        dims = [self._index_value(self._eval(d, frame), d) for d in s.dimensions]
+        kind = s.xtype.kind
+        if kind == "var":
+            frame.declare_var(s.name, Slice.filled(dims, None))
+            return
+        if frame.kind != "template":
+            raise err("signals/components only allowed in templates",
+                      "T2039", s.meta)
+        if frame.unknown_depth:
+            raise err("declaration inside unknown condition", "T2040", s.meta)
+        if kind == "signal":
+            decl = SignalDecl(s.name, dims, s.xtype.signal_type, s.xtype.tags)
+            frame.signals[s.name] = decl
+            if frame.builder is not None:
+                frame.builder.wire_order.append(decl)
+            if (
+                frame.instance is not None
+                and s.xtype.signal_type == A.SignalType.INPUT
+            ):
+                self._install_input_values(s, decl, frame)
+            return
+        if kind == "component":
+            frame.components[s.name] = Slice.filled(dims, None)
+            if frame.builder is not None:
+                frame.builder.components.append((s.name, tuple(dims)))
+            return
+        raise err(f"unsupported declaration kind '{kind}'", "T2052", s.meta)
+
+    def _install_input_values(self, s, decl, frame):
+        """Witness modes: input signals get their values at declaration."""
+        preset = frame.preset_inputs or {}
+        if s.name not in preset:
+            raise err(f"missing value for input signal '{s.name}'",
+                      "T2044", s.meta)
+        src = preset[s.name]
+        if tuple(src.dims) != tuple(decl.dims):
+            raise err(
+                f"input '{s.name}' dimension mismatch: expected "
+                f"{decl.dims}, got {src.dims}", "T2044", s.meta,
+            )
+        decl.slice = src.copy()
+        decl.assigned = Slice.filled(decl.dims, True)
+
+    # -- assignment ------------------------------------------------------
+    def _exec_substitution(self, s: A.Substitution, frame):
+        if s.var == "_":
+            v = self._eval(s.rhe, frame)
+            self._record_underscore(v, frame)
+            return
+        target = self._resolve_symbol(s.var, frame, s.meta)
+        if target[0] == "var":
+            self._assign_var(s, frame)
+        elif target[0] == "signal":
+            self._assign_signal(s, target[1], frame)
+        elif target[0] == "component":
+            self._assign_component(s, target[1], frame)
+        else:
+            raise err(f"cannot assign to '{s.var}'", "T2031", s.meta)
+
+    def _resolve_symbol(self, name, frame, meta):
+        if name in frame.signals:
+            return ("signal", frame.signals[name])
+        if name in frame.components:
+            return ("component", frame.components[name])
+        v = frame.lookup_var(name)
+        if v is not None:
+            return ("var", v)
+        raise err(f"undeclared symbol '{name}'", "T2004", meta)
+
+    def _split_access(self, access, frame, meta):
+        """[ArrayAccess*] [ComponentAccess [ArrayAccess*]] -> parts."""
+        idxs0, comp, idxs1, tag = [], None, [], None
+        i = 0
+        while i < len(access) and isinstance(access[i], A.ArrayAccess):
+            idxs0.append(self._index_value(
+                self._eval(access[i].expr, frame), meta))
+            i += 1
+        if i < len(access) and isinstance(access[i], A.ComponentAccess):
+            comp = access[i].name
+            i += 1
+            while i < len(access) and isinstance(access[i], A.ArrayAccess):
+                idxs1.append(self._index_value(
+                    self._eval(access[i].expr, frame), meta))
+                i += 1
+        if i < len(access) and isinstance(access[i], A.ComponentAccess):
+            tag = access[i].name
+            i += 1
+        if i != len(access):
+            raise err("unsupported access pattern", "T2033", meta)
+        return idxs0, comp, idxs1, tag
+
+    def _assign_var(self, s, frame):
+        slc = frame.lookup_var(s.var)
+        idxs = []
+        for a in s.access:
+            if not isinstance(a, A.ArrayAccess):
+                raise err("invalid access on var", "T2033", s.meta)
+            idxs.append(self._index_value(self._eval(a.expr, frame), s.meta))
+        value = self._eval(s.rhe, frame)
+        slc.set(idxs, value, s.meta)
+
+    def _assign_signal(self, s, decl: SignalDecl, frame):
+        idxs0, comp, idxs1, _tag = self._split_access(s.access, frame, s.meta)
+        if comp is not None:
+            # tag assignment: sig.tag = value
+            self._assign_tag(s, decl, comp, frame)
+            return
+        if frame.unknown_depth:
+            raise err("signal assignment inside unknown condition",
+                      "T2041", s.meta)
+        if s.op == A.AssignOp.VAR:
+            raise err("signals must be assigned with <== or <--",
+                      "T2031", s.meta)
+        value = self._eval(s.rhe, frame)
+        self._store_signal_elements(decl, idxs0, value, s.op, frame, s.meta,
+                                    prefix="")
+
+    def _assign_tag(self, s, decl, tag, frame):
+        if tag not in decl.tag_values:
+            raise err(f"signal '{decl.name}' has no tag '{tag}'",
+                      "T2034", s.meta)
+        v = self._eval(s.rhe, frame)
+        k = self.domain.known_int(v)
+        if k is None:
+            raise err("tag values must be known constants", "T2035", s.meta)
+        if any(decl.assigned.values):
+            raise err("tag assigned after signal assignment", "T2036", s.meta)
+        decl.tag_values[tag] = k
+        if frame.builder is not None:
+            frame.builder.tag_exports.setdefault(decl.name, {})[tag] = k
+
+    def _store_signal_elements(self, decl, idxs, value, op, frame, meta,
+                               prefix, component=None):
+        """Assign one element or a whole subarray of a signal; emits
+        constraints for <== in constrain mode."""
+        off, rest = decl.slice.route_offset(idxs, meta)
+        names = indexed_names(decl.name, decl.dims)
+        count = _size_of(rest)
+        if isinstance(value, Slice):
+            if tuple(value.dims) != tuple(rest):
+                raise err(
+                    f"dimension mismatch assigning '{decl.name}': "
+                    f"{value.dims} vs {rest}", "T2019", meta,
+                )
+            vals = value.values
+        else:
+            if rest:
+                raise err("assigning scalar to signal array", "T2019", meta)
+            vals = [value]
+        for j in range(count):
+            if decl.assigned.values[off + j]:
+                raise err(
+                    f"signal '{names[off + j]}' already assigned",
+                    "T2012", meta,
+                )
+            decl.assigned.values[off + j] = True
+            decl.slice.values[off + j] = vals[j]
+            if self.mode == "constrain" and op == A.AssignOp.CONSTRAINT:
+                qname = prefix + names[off + j]
+                expr = alg.sub(vals[j], AExpr.signal(qname), self.hf)
+                self._emit_constraint(expr, frame, meta)
+            elif self.mode == "hostwit" and op == A.AssignOp.CONSTRAINT:
+                pass  # definitionally satisfied
+        return count
+
+    def _emit_constraint(self, expr, frame, meta):
+        if isinstance(expr, NonQuadratic):
+            raise err("non-quadratic constraint", "T2013", meta)
+        c = alg.Constraint.from_aexpr(expr, self.hf)
+        if c is None:
+            raise err("non-quadratic constraint", "T2013", meta)
+        if c.is_linear() and len(c.c) == 1 and alg.CONST in c.c:
+            if c.c[alg.CONST] != 0:
+                raise err("impossible constraint: nonzero constant = 0",
+                          "T2014", meta)
+            return
+        frame.builder.constraints.append(c)
+
+    # -- component assignment -------------------------------------------
+    def _assign_component(self, s, cslice, frame):
+        idxs0, comp_sig, idxs1, _tag = self._split_access(
+            s.access, frame, s.meta)
+        if comp_sig is None:
+            # instantiate: c[idxs] = Template(args)
+            if frame.unknown_depth:
+                raise err("component instantiation inside unknown condition",
+                          "T2041", s.meta)
+            value = self._eval(s.rhe, frame)
+            if not isinstance(value, TemplateClosure):
+                raise err("component must be assigned a template call",
+                          "T2030", s.meta)
+            self._instantiate(s.var, idxs0, value, cslice, frame, s.meta)
+            return
+        # input assignment: c[i].in[j] <== e
+        cs = cslice.get(idxs0, s.meta)
+        if isinstance(cs, Slice):
+            raise err("component array used without index", "T2032", s.meta)
+        if cs is None:
+            raise err(
+                f"component '{s.var}' used before instantiation",
+                "T2043", s.meta,
+            )
+        if s.op == A.AssignOp.VAR:
+            raise err("component inputs need <== or <--", "T2031", s.meta)
+        if frame.unknown_depth:
+            raise err("signal assignment inside unknown condition",
+                      "T2041", s.meta)
+        value = self._eval(s.rhe, frame)
+        self._assign_component_input(cs, comp_sig, idxs1, value, s.op,
+                                     frame, s.meta)
+
+    def _instantiate(self, cname, idxs, closure, cslice, frame, meta):
+        cs = ComponentState()
+        cs.template = closure.name
+        cs.params = closure.params
+        cs.is_parallel = closure.is_parallel
+        cs.label = cname + "".join(f"[{i}]" for i in idxs)
+        cs.meta_name = cname
+        cslice.set(idxs, cs, meta)
+        cs.instantiated = True
+        tmpl = self.archive.templates.get(closure.name)
+        if tmpl is None:
+            raise err(f"unknown template '{closure.name}'", "T2007", meta)
+        # decide readiness: defer only when inputs declare tags whose values
+        # must come from the caller (approximation of unassigned_tags)
+        if self.mode == "constrain":
+            node_id = self.execute_template(
+                closure.name, closure.params, cs.input_tag_values, meta=meta,
+            )
+            cs.node_id = node_id
+            self._bind_component_io(cs, node_id)
+            frame.builder.connexions.append(
+                (cname, tuple(idxs), cs.label, node_id, cs.is_parallel)
+            )
+            if cs.inputs_remaining == 0:
+                cs.executed = True
+        else:
+            key = self._memo_key(closure.name, closure.params,
+                                 cs.input_tag_values)
+            node_id = self.memo.get(key)
+            if node_id is None:
+                raise err(
+                    f"instance of '{closure.name}' absent from constraint "
+                    "pass (params mismatch)", "T2048", meta,
+                )
+            cs.node_id = node_id
+            self._bind_component_io(cs, node_id)
+            path = f"{self._witness_path}.{cs.label}"
+            self.instances_by_path[path] = cs
+            if frame.instance is not None:
+                frame.instance.child_instances[cs.label] = cs
+            if cs.inputs_remaining == 0:
+                self._execute_child_witness(cs)
+
+    def _bind_component_io(self, cs: ComponentState, node_id):
+        node = self.dag.nodes[node_id]
+        total_inputs = 0
+        for (name, dims, xtype, tagvals) in node.wire_info:
+            decl = SignalDecl(name, dims, xtype, list(tagvals))
+            decl.tag_values = dict(tagvals)
+            if xtype == A.SignalType.INPUT:
+                total_inputs += decl.slice.size()
+                cs.signals[name] = decl
+            elif xtype == A.SignalType.OUTPUT:
+                cs.signals[name] = decl
+        cs.inputs_remaining = total_inputs
+
+    def _assign_component_input(self, cs, sig_name, idxs, value, op, frame,
+                                meta):
+        decl = cs.signals.get(sig_name)
+        if decl is None or decl.xtype != A.SignalType.INPUT:
+            raise err(
+                f"'{sig_name}' is not an input of template {cs.template}",
+                "T2016", meta,
+            )
+        prefix = cs.label + "."
+        names = indexed_names(decl.name, decl.dims)
+        off, rest = decl.slice.route_offset(idxs, meta)
+        count = self._store_signal_elements(
+            decl, idxs, value, op, frame, meta, prefix=prefix)
+        cs.inputs_remaining -= count
+        if cs.inputs_remaining == 0:
+            if self.mode == "constrain":
+                cs.executed = True  # body already ran at instantiation
+            else:
+                self._execute_child_witness(cs)
+
+    def _execute_child_witness(self, cs: ComponentState):
+        inputs = {
+            name: decl.slice
+            for name, decl in cs.signals.items()
+            if decl.xtype == A.SignalType.INPUT
+        }
+        saved = self._witness_path
+        child = ComponentState()
+        child.template = cs.template
+        child.params = cs.params
+        child.label = cs.label
+        child.node_id = cs.node_id
+        path = f"{saved}.{cs.label}"
+        self.instances_by_path[path] = child
+        self._run_witness_body(child, inputs, path)
+        self._witness_path = saved
+        # splice child's computed signals into the parent-facing state
+        for name, decl in child.signals.items():
+            cs.signals[name] = decl
+        cs.executed = True
+        cs.child_instances = child.child_instances
+        self.instances_by_path[path] = child
+
+    def _record_underscore(self, v, frame):
+        if self.mode == "constrain" and frame.builder is not None:
+            vals = v.values if isinstance(v, Slice) else [v]
+            for x in vals:
+                if isinstance(x, AExpr):
+                    for sig in x.signals():
+                        frame.builder.underscored.append(sig)
+
+    # -- constraint equality --------------------------------------------
+    def _exec_constraint_eq(self, s: A.ConstraintEquality, frame):
+        if frame.unknown_depth:
+            raise err("=== inside unknown condition", "T2041", s.meta)
+        l = self._eval(s.lhe, frame)
+        r = self._eval(s.rhe, frame)
+        lv = l.values if isinstance(l, Slice) else [l]
+        rv = r.values if isinstance(r, Slice) else [r]
+        ldims = l.dims if isinstance(l, Slice) else ()
+        rdims = r.dims if isinstance(r, Slice) else ()
+        if tuple(ldims) != tuple(rdims):
+            raise err("=== dimension mismatch", "T2019", s.meta)
+        for a, b in zip(lv, rv):
+            if self.mode == "constrain":
+                self._emit_constraint(alg.sub(a, b, self.hf), frame, s.meta)
+            elif self.mode == "hostwit" and self.sanity_check >= 1:
+                if (a - b) % self.hf.p != 0:
+                    raise err(
+                        f"=== check failed: {a} != {b}", "T3002", s.meta,
+                    )
+
+    # -- control flow ----------------------------------------------------
+    def _exec_if(self, s: A.IfThenElse, frame):
+        cond = self._eval(s.cond, frame)
+        known = self.domain.as_cond(cond)
+        if known is not None:
+            if known:
+                self._exec_stmt(s.if_case, frame)
+            elif s.else_case is not None:
+                self._exec_stmt(s.else_case, frame)
+            return
+        # unknown condition: fork vars, run both branches, merge
+        self._exec_unknown_if(s, cond, frame)
+
+    def _exec_unknown_if(self, s, cond, frame):
+        snapshot = _snapshot_scopes(frame)
+        frame.unknown_depth += 1
+        try:
+            self._exec_stmt(s.if_case, frame)
+            then_state = _snapshot_scopes(frame)
+            _restore_scopes(frame, snapshot)
+            if s.else_case is not None:
+                self._exec_stmt(s.else_case, frame)
+            else_state = _snapshot_scopes(frame)
+        finally:
+            frame.unknown_depth -= 1
+        merged = _merge_scopes(then_state, else_state, cond, self.domain)
+        _restore_scopes(frame, merged)
+
+    def _exec_while(self, s: A.While, frame):
+        while True:
+            cond = self._eval(s.cond, frame)
+            known = self.domain.as_cond(cond)
+            if known is None:
+                if self.mode == "tape":
+                    raise err(
+                        "data-dependent while loop cannot be compiled to "
+                        "the TPU tape (use the host calculator)",
+                        "T2049", s.meta,
+                    )
+                # constrain mode: execute once in unknown block; vars
+                # touched become unknown (execute.rs conditional fork)
+                snapshot = _snapshot_scopes(frame)
+                frame.unknown_depth += 1
+                try:
+                    self._exec_stmt(s.stmt, frame)
+                    after = _snapshot_scopes(frame)
+                finally:
+                    frame.unknown_depth -= 1
+                merged = _merge_scopes(snapshot, after, cond, self.domain)
+                _restore_scopes(frame, merged)
+                return
+            if not known:
+                return
+            self._exec_stmt(s.stmt, frame)
+
+    def _exec_log(self, s: A.LogCall, frame):
+        parts = []
+        for arg in s.args:
+            if isinstance(arg, A.LogStr):
+                parts.append(arg.string)
+            else:
+                v = self._eval(arg.expr, frame)
+                k = self.domain.known_int(v)
+                parts.append(str(k) if k is not None else "<unknown>")
+        self.log_sink.append(" ".join(parts))
+
+    def _exec_assert(self, s: A.Assert, frame):
+        v = self._eval(s.arg, frame)
+        known = self.domain.as_cond(v)
+        if known is False:
+            raise err("false assert reached", "T3001", s.meta)
+
+    # ==================================================================
+    # expression evaluation
+    # ==================================================================
+    def _eval(self, e, frame):
+        if isinstance(e, A.Number):
+            return self.domain.const(e.value)
+        if isinstance(e, A.Variable):
+            return self._eval_variable(e, frame)
+        if isinstance(e, A.Infix):
+            l = self._scalar(self._eval(e.lhe, frame), e.meta)
+            r = self._scalar(self._eval(e.rhe, frame), e.meta)
+            return self.domain.infix(e.op, l, r, e.meta)
+        if isinstance(e, A.Prefix):
+            v = self._scalar(self._eval(e.rhe, frame), e.meta)
+            return self.domain.prefix(e.op, v, e.meta)
+        if isinstance(e, A.TernarySwitch):
+            cond = self._scalar(self._eval(e.cond, frame), e.meta)
+            known = self.domain.as_cond(cond)
+            if known is not None:
+                return self._eval(e.if_true if known else e.if_false, frame)
+            a = self._scalar(self._eval(e.if_true, frame), e.meta)
+            b = self._scalar(self._eval(e.if_false, frame), e.meta)
+            return self.domain.select(cond, a, b)
+        if isinstance(e, A.Call):
+            return self._eval_call(e, frame)
+        if isinstance(e, A.ArrayInLine):
+            vals = [self._eval(v, frame) for v in e.values]
+            return _stack_slices(vals, e.meta)
+        if isinstance(e, A.UniformArray):
+            v = self._eval(e.value, frame)
+            n = self._index_value(self._eval(e.dimension, frame), e.meta)
+            vals = [v.copy() if isinstance(v, Slice) else v for _ in range(n)]
+            return _stack_slices(vals, e.meta)
+        if isinstance(e, A.ParallelOp):
+            v = self._eval(e.rhe, frame)
+            if isinstance(v, TemplateClosure):
+                v.is_parallel = True
+            return v
+        if isinstance(e, A.TupleExpr):
+            raise err("tuple in expression position (not yet desugared)",
+                      "T2050", e.meta)
+        if isinstance(e, A.AnonymousComp):
+            raise err("anonymous component (not yet desugared)", "T2050",
+                      e.meta)
+        raise err(f"unsupported expression {type(e).__name__}", "T2051",
+                  getattr(e, "meta", None))
+
+    def _scalar(self, v, meta):
+        if isinstance(v, Slice):
+            if v.dims:
+                raise err("array used where scalar expected", "T2019", meta)
+            return v.values[0]
+        if isinstance(v, TemplateClosure):
+            raise err("template call used as value", "T2030", meta)
+        return v
+
+    def _index_value(self, v, meta):
+        v = self._scalar(v, meta)
+        k = self.domain.known_int(v)
+        if k is None:
+            raise err("array size/index must be known at compile time",
+                      "T2021", meta)
+        return k
+
+    def _eval_variable(self, e: A.Variable, frame):
+        name = e.name
+        if name in frame.signals:
+            return self._read_signal(frame.signals[name], e, frame, prefix="")
+        if name in frame.components:
+            return self._read_component(e, frame)
+        v = frame.lookup_var(name)
+        if v is not None:
+            idxs = []
+            for a in e.access:
+                if not isinstance(a, A.ArrayAccess):
+                    raise err("invalid access on var", "T2033", e.meta)
+                idxs.append(self._index_value(self._eval(a.expr, frame),
+                                              e.meta))
+            got = v.get(idxs, e.meta)
+            if isinstance(got, Slice):
+                return got
+            if got is None:
+                raise err(f"variable '{name}' used before assignment",
+                          "T2005", e.meta)
+            return got
+        if name in self.archive.templates or name in self.archive.functions:
+            raise err(f"'{name}' used as a value", "T2030", e.meta)
+        raise err(f"undeclared symbol '{name}'", "T2004", e.meta)
+
+    def _read_signal(self, decl: SignalDecl, e, frame, prefix):
+        idxs0, comp, idxs1, _ = self._split_access(e.access, frame, e.meta)
+        if comp is not None:
+            # tag read: sig.tag
+            if comp not in decl.tag_values:
+                raise err(f"signal has no tag '{comp}'", "T2034", e.meta)
+            tv = decl.tag_values[comp]
+            if tv is None:
+                raise err(f"tag '{comp}' has no value", "T2035", e.meta)
+            return self.domain.const(tv)
+        if self.mode == "constrain":
+            off, rest = decl.slice.route_offset(idxs0, e.meta)
+            names = indexed_names(decl.name, decl.dims)
+            if not rest:
+                return AExpr.signal(prefix + names[off])
+            vals = [
+                AExpr.signal(prefix + names[off + j])
+                for j in range(_size_of(rest))
+            ]
+            return Slice(rest, vals)
+        got = decl.slice.get(idxs0, e.meta)
+        vals = got.values if isinstance(got, Slice) else [got]
+        if any(x is None for x in vals):
+            raise err(
+                f"signal '{decl.name}' read before assignment",
+                "T2005", e.meta,
+            )
+        return got
+
+    def _read_component(self, e: A.Variable, frame):
+        idxs0, sig, idxs1, tag = self._split_access(e.access, frame, e.meta)
+        cslice = frame.components[e.name]
+        cs = cslice.get(idxs0, e.meta)
+        if isinstance(cs, Slice):
+            raise err("component array used without full index", "T2032",
+                      e.meta)
+        if cs is None:
+            raise err(f"component '{e.name}' used before instantiation",
+                      "T2043", e.meta)
+        if sig is None:
+            raise err("component used as a value", "T2030", e.meta)
+        decl = cs.signals.get(sig)
+        if decl is None:
+            raise err(f"'{sig}' is not a signal of template {cs.template}",
+                      "T2016", e.meta)
+        if tag is not None:
+            tv = decl.tag_values.get(tag)
+            if tv is None:
+                raise err(f"tag '{tag}' has no value", "T2035", e.meta)
+            return self.domain.const(tv)
+        if decl.xtype == A.SignalType.OUTPUT and cs.inputs_remaining > 0:
+            raise err(
+                f"output '{sig}' of '{e.name}' read before all inputs are "
+                "assigned", "T2046", e.meta,
+            )
+        if decl.xtype == A.SignalType.INPUT and self.mode == "constrain":
+            raise err("subcomponent inputs cannot be read", "T2047", e.meta)
+        if self.mode == "constrain":
+            off, rest = decl.slice.route_offset(idxs1, e.meta)
+            names = indexed_names(decl.name, decl.dims)
+            prefix = cs.label + "."
+            if not rest:
+                return AExpr.signal(prefix + names[off])
+            return Slice(rest, [
+                AExpr.signal(prefix + names[off + j])
+                for j in range(_size_of(rest))
+            ])
+        got = decl.slice.get(idxs1, e.meta)
+        vals = got.values if isinstance(got, Slice) else [got]
+        if any(x is None for x in vals):
+            raise err(f"output '{sig}' read before computed", "T2005", e.meta)
+        return got
+
+    def _eval_call(self, e: A.Call, frame):
+        if e.id in self.archive.functions:
+            return self._call_function(e, frame)
+        if e.id in self.archive.templates:
+            params = [self._eval(a, frame) for a in e.args]
+            known = [self._expect_known_arg(p) for p in params]
+            return TemplateClosure(e.id, known)
+        raise err(f"unknown function or template '{e.id}'", "T2007", e.meta)
+
+    def _call_function(self, e: A.Call, frame):
+        fn = self.archive.functions[e.id]
+        if len(e.args) != len(fn.args):
+            raise err(
+                f"function {e.id} expects {len(fn.args)} arguments, got "
+                f"{len(e.args)}", "T2005", e.meta,
+            )
+        sub = Frame("function", e.id)
+        sub.unknown_depth = frame.unknown_depth
+        for name, argexpr in zip(fn.args, e.args):
+            v = self._eval(argexpr, frame)
+            sub.declare_var(name, _as_slice(v))
+        try:
+            self._exec_stmt(fn.body, sub)
+        except FunctionReturn as r:
+            return r.value
+        raise err(f"function '{e.id}' ended without return", "T2015", e.meta)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+def _as_slice(v):
+    return v if isinstance(v, Slice) else Slice.scalar(v)
+
+
+def _size_of(dims):
+    n = 1
+    for d in dims:
+        n *= d
+    return n
+
+
+def _flatten_params(params):
+    out = []
+    for p in params:
+        if isinstance(p, Slice):
+            out.extend(p.values)
+        else:
+            out.append(p)
+    return out
+
+
+def _nested_to_slice(v):
+    if not isinstance(v, (list, tuple)):
+        return Slice.scalar(v)
+    dims = []
+    probe = v
+    while isinstance(probe, (list, tuple)):
+        dims.append(len(probe))
+        probe = probe[0]
+    flat = []
+
+    def rec(x, depth):
+        if depth == len(dims):
+            flat.append(x)
+            return
+        for item in x:
+            rec(item, depth + 1)
+
+    rec(v, 0)
+    return Slice(dims, flat)
+
+
+def _stack_slices(vals, meta):
+    if not vals:
+        raise err("empty inline array", "T2019", meta)
+    if isinstance(vals[0], Slice):
+        dims = (len(vals),) + tuple(vals[0].dims)
+        flat = []
+        for v in vals:
+            if not isinstance(v, Slice) or tuple(v.dims) != tuple(vals[0].dims):
+                raise err("ragged inline array", "T2019", meta)
+            flat.extend(v.values)
+        return Slice(dims, flat)
+    return Slice((len(vals),), list(vals))
+
+
+def _map_constraint(c, corr):
+    def m(d):
+        out = {}
+        for k, v in d.items():
+            if k == alg.CONST:
+                out[alg.CONST] = v
+            else:
+                out[corr[k]] = v
+        return out
+
+    return alg.Constraint(m(c.a), m(c.b), m(c.c))
+
+
+def _snapshot_scopes(frame):
+    return [
+        {k: (v.copy() if isinstance(v, Slice) else v) for k, v in scope.items()}
+        for scope in frame.scopes
+    ]
+
+
+def _restore_scopes(frame, snapshot):
+    frame.scopes = snapshot
+
+
+def _merge_scopes(state_a, state_b, cond, domain):
+    merged = []
+    for sa, sb in zip(state_a, state_b):
+        scope = {}
+        for k in sa:
+            va, vb = sa[k], sb.get(k)
+            if vb is None:
+                scope[k] = va
+                continue
+            if isinstance(va, Slice) and isinstance(vb, Slice):
+                vals = []
+                for x, y in zip(va.values, vb.values):
+                    if x is None or y is None:
+                        vals.append(x if y is None else y)
+                    elif x is y:
+                        vals.append(x)
+                    else:
+                        vals.append(domain.select(cond, x, y))
+                scope[k] = Slice(va.dims, vals)
+            else:
+                scope[k] = va
+        merged.append(scope)
+    return merged

@@ -1,0 +1,179 @@
+"""Runtime value structures for the circuit executor.
+
+Slice mirrors the reference's MemorySlice (program_structure/src/utils/
+memory_slice.rs:23-48): an n-dimensional array value with `dims` (route)
+and a flat row-major `values` store.  ComponentState mirrors
+ComponentRepresentation (constraint_generation/src/environment_utils/
+component_representation.rs): pending inputs, deferred execution,
+output availability.
+"""
+
+from ..utils.reports import Report
+
+
+class ExecError(Exception):
+    """Wraps a Report raised during execution."""
+
+    def __init__(self, report: Report):
+        super().__init__(report.message)
+        self.report = report
+
+
+def err(message, code="T2000", meta=None):
+    r = Report.error(message, code)
+    if meta is not None:
+        r.add_primary(meta.file_id, meta.start, meta.end)
+    return ExecError(r)
+
+
+class Slice:
+    """Row-major n-dim store; dims == () is a scalar cell."""
+
+    __slots__ = ("dims", "values")
+
+    def __init__(self, dims, values):
+        self.dims = tuple(dims)
+        self.values = values  # flat list
+
+    @staticmethod
+    def scalar(v):
+        return Slice((), [v])
+
+    @staticmethod
+    def filled(dims, fill):
+        n = 1
+        for d in dims:
+            n *= d
+        return Slice(dims, [fill] * n)
+
+    def size(self):
+        return len(self.values)
+
+    def route_offset(self, idxs, meta=None):
+        """Partial index -> (flat start, remaining dims)."""
+        if len(idxs) > len(self.dims):
+            raise err("too many array indices", "T2018", meta)
+        off = 0
+        stride = self.size()
+        for k, i in enumerate(idxs):
+            d = self.dims[k]
+            if not (0 <= i < d):
+                raise err(
+                    f"index {i} out of bounds for dimension of size {d}",
+                    "T2021", meta,
+                )
+            stride //= d
+            off += i * stride
+        return off, self.dims[len(idxs):]
+
+    def get(self, idxs, meta=None):
+        """Full or partial access -> scalar value or sub-Slice."""
+        off, rest = self.route_offset(idxs, meta)
+        if not rest:
+            return self.values[off]
+        n = 1
+        for d in rest:
+            n *= d
+        return Slice(rest, self.values[off:off + n])
+
+    def set(self, idxs, value, meta=None):
+        """Assign scalar or whole sub-slice at idxs."""
+        off, rest = self.route_offset(idxs, meta)
+        if not rest:
+            if isinstance(value, Slice):
+                if value.dims:
+                    raise err("assigning array to scalar position", "T2019", meta)
+                value = value.values[0]
+            self.values[off] = value
+        else:
+            if not isinstance(value, Slice):
+                raise err("assigning scalar to array position", "T2019", meta)
+            if tuple(value.dims) != tuple(rest):
+                raise err(
+                    f"dimension mismatch in assignment: {value.dims} vs {rest}",
+                    "T2019", meta,
+                )
+            n = value.size()
+            self.values[off:off + n] = value.values
+        return self
+
+    def copy(self):
+        return Slice(self.dims, list(self.values))
+
+    def __repr__(self):
+        return f"Slice{self.dims}{self.values!r}"
+
+
+def indexed_names(base, dims):
+    """Row-major element names: base, or base[0][1] style
+    (matches the reference's generate_symbols naming)."""
+    if not dims:
+        return [base]
+    out = []
+
+    def rec(prefix, ds):
+        if not ds:
+            out.append(prefix)
+            return
+        for i in range(ds[0]):
+            rec(f"{prefix}[{i}]", ds[1:])
+
+    rec(base, list(dims))
+    return out
+
+
+class TemplateClosure:
+    """Result of evaluating `Foo(params)` before component binding."""
+
+    __slots__ = ("name", "params", "is_parallel")
+
+    def __init__(self, name, params, is_parallel=False):
+        self.name = name
+        self.params = params  # list of int or Slice of int
+        self.is_parallel = is_parallel
+
+
+class SignalDecl:
+    """Per-signal metadata within an instance."""
+
+    __slots__ = ("name", "dims", "xtype", "tags", "tag_values", "slice",
+                 "assigned")
+
+    def __init__(self, name, dims, xtype, tags):
+        self.name = name
+        self.dims = tuple(dims)
+        self.xtype = xtype              # SignalType
+        self.tags = list(tags)
+        self.tag_values = {t: None for t in tags}
+        self.slice = Slice.filled(dims, None)   # element values (mode-specific)
+        self.assigned = Slice.filled(dims, False)
+
+    def unassigned_count(self):
+        return sum(1 for a in self.assigned.values if not a)
+
+
+class ComponentState:
+    """A subcomponent instance during execution."""
+
+    __slots__ = (
+        "template", "params", "is_parallel", "label", "node_id",
+        "signals", "inputs_remaining", "executed", "instantiated",
+        "input_tag_values", "child_instances", "meta_name", "pending_inputs",
+        "is_anonymous",
+    )
+
+    def __init__(self):
+        self.template = None
+        self.params = None
+        self.is_parallel = False
+        self.label = None               # e.g. "c[0]" within parent
+        self.node_id = None             # DAG node (constrain pass)
+        self.signals = {}               # name -> SignalDecl (io of the child)
+        self.inputs_remaining = 0
+        self.executed = False
+        self.instantiated = False
+        self.input_tag_values = {}      # signal -> {tag: value}
+        self.child_instances = {}       # label -> ComponentState (witness mode)
+        self.meta_name = ""
+        self.pending_inputs = []        # assigned before instantiation
+        self.is_anonymous = False

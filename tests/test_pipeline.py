@@ -1,0 +1,221 @@
+"""End-to-end pipeline tests on the documentation circuits.
+
+multiplier2 is the reference docs' hello-world
+(mkdocs/docs/getting-started/writing-circuits.md); the 3-multiplier
+composition exercises subcomponents, and further tests cover functions,
+loops, arrays and witness-hint code (<-- with bit ops).
+"""
+
+import pytest
+
+from circom_tpu.compiler.pipeline import compile_source
+from circom_tpu.emit.binfmt import (field_size_bytes, read_r1cs, read_wtns,
+                                    write_r1cs, write_wtns)
+from circom_tpu.field.primes import field_spec
+
+P = field_spec("bn128").p
+
+MULTIPLIER2 = """
+pragma circom 2.0.0;
+template Multiplier2 {
+    signal input a;
+    signal input b;
+    signal output c;
+    c <== a*b;
+}
+component main = Multiplier2();
+"""
+
+
+def test_multiplier2_constraints():
+    cc = compile_source(MULTIPLIER2)
+    rows = cc.r1cs_rows()
+    assert len(rows) == 1
+    a, b, c = rows[0]
+    # c(=wire 1) <== a(2) * b(3):  (-a)*(b) - (-c) = 0 modulo sign choices
+    assert set(a.keys()) == {2} and set(b.keys()) == {3}
+    assert set(c.keys()) == {1}
+    # wires: 0 const, 1 = output c, 2 = a, 3 = b
+    assert cc.dag.total_signals() == 4
+    n_out, n_pub_in, n_prv_in = cc.dag.public_info()
+    assert (n_out, n_pub_in, n_prv_in) == (1, 0, 2)
+
+
+def test_multiplier2_sym():
+    cc = compile_source(MULTIPLIER2)
+    assert cc.sym_lines() == [
+        "1,1,0,main.c",
+        "2,2,0,main.a",
+        "3,3,0,main.b",
+    ]
+
+
+def test_multiplier2_witness():
+    cc = compile_source(MULTIPLIER2)
+    w = cc.witness_host({"a": 3, "b": 11})
+    assert w == [1, 33, 3, 11]
+
+
+def test_multiplier2_wtns_roundtrip(tmp_path):
+    cc = compile_source(MULTIPLIER2)
+    w = cc.witness_host({"a": 3, "b": 11})
+    f = tmp_path / "w.wtns"
+    write_wtns(str(f), P, w)
+    back = read_wtns(str(f))
+    assert back["p"] == P and back["values"] == w
+    assert back["n8"] == 32
+
+
+def test_multiplier2_r1cs_roundtrip(tmp_path):
+    cc = compile_source(MULTIPLIER2)
+    f = tmp_path / "c.r1cs"
+    cc.write_r1cs(str(f))
+    data = read_r1cs(str(f))
+    assert data["p"] == P
+    assert data["n_wires"] == 4
+    assert data["n_pub_out"] == 1
+    assert data["n_prv_in"] == 2
+    assert len(data["constraints"]) == 1
+
+
+MULTIPLIER3 = """
+pragma circom 2.0.0;
+template Multiplier2() {
+    signal input a;
+    signal input b;
+    signal output c;
+    c <== a*b;
+}
+template Multiplier3() {
+    signal input in1;
+    signal input in2;
+    signal input in3;
+    signal output out;
+    component m1 = Multiplier2();
+    component m2 = Multiplier2();
+    m1.a <== in1;
+    m1.b <== in2;
+    m2.a <== m1.c;
+    m2.b <== in3;
+    out <== m2.c;
+}
+component main = Multiplier3();
+"""
+
+
+def test_multiplier3():
+    cc = compile_source(MULTIPLIER3)
+    # nodes: Multiplier2 (memoized once) + Multiplier3
+    assert len(cc.dag.nodes) == 2
+    w = cc.witness_host({"in1": 2, "in2": 3, "in3": 5})
+    # witness: [1, out, in1, in2, in3, m1.c, m1.a, m1.b, m2.c, m2.a, m2.b]
+    assert w[0] == 1 and w[1] == 30
+    assert len(w) == cc.dag.total_signals()
+    rows = cc.r1cs_rows()
+    # m1.a<==in1, m1.b<==in2, m2.a<==m1.c, m2.b<==in3, out<==m2.c are
+    # linear; c<==a*b in each Multiplier2 instance is quadratic: total 7
+    assert len(rows) == 7
+    assert sum(1 for (a, b, _c) in rows if a or b) == 2
+
+
+def test_loops_and_arrays():
+    src = """
+pragma circom 2.0.0;
+template Sum(n) {
+    signal input in[n];
+    signal output out;
+    var acc = 0;
+    for (var i = 0; i < n; i++) {
+        acc += in[i];
+    }
+    out <== acc;
+}
+component main = Sum(5);
+"""
+    cc = compile_source(src)
+    w = cc.witness_host({"in": [1, 2, 3, 4, 5]})
+    assert w[1] == 15
+    assert len(cc.r1cs_rows()) == 1  # one linear constraint
+
+
+def test_functions():
+    src = """
+pragma circom 2.0.0;
+function nbits(a) {
+    var n = 1;
+    var r = 0;
+    while (n-1 < a) {
+        r++;
+        n *= 2;
+    }
+    return r;
+}
+template T() {
+    signal input in;
+    signal output out;
+    out <== in * nbits(100);
+}
+component main = T();
+"""
+    cc = compile_source(src)
+    w = cc.witness_host({"in": 2})
+    assert w[1] == 14  # nbits(100) = 7, 2*7
+
+
+def test_witness_hints_bit_ops():
+    src = """
+pragma circom 2.0.0;
+template Num2Bits(n) {
+    signal input in;
+    signal output out[n];
+    var lc1 = 0;
+    var e2 = 1;
+    for (var i = 0; i < n; i++) {
+        out[i] <-- (in >> i) & 1;
+        out[i] * (out[i] - 1) === 0;
+        lc1 += out[i] * e2;
+        e2 = e2 + e2;
+    }
+    lc1 === in;
+}
+component main = Num2Bits(8);
+"""
+    cc = compile_source(src)
+    w = cc.witness_host({"in": 0b10110101})
+    assert w[1:9] == [1, 0, 1, 0, 1, 1, 0, 1]
+    assert len(cc.r1cs_rows()) == 9  # 8 bit checks + 1 sum
+
+
+def test_sanity_check_catches_bad_hint():
+    src = """
+pragma circom 2.0.0;
+template Bad() {
+    signal input in;
+    signal output out;
+    out <-- in + 1;
+    out === in + 2;
+}
+component main = Bad();
+"""
+    cc = compile_source(src)
+    from circom_tpu.compiler.values import ExecError
+
+    with pytest.raises(ExecError):
+        cc.witness_host({"in": 5})
+
+
+def test_ternary_and_known_if():
+    src = """
+pragma circom 2.0.0;
+template T(n) {
+    signal input in;
+    signal output out;
+    var k = n > 3 ? 10 : 20;
+    if (n == 5) { k += 1; }
+    out <== in * k;
+}
+component main = T(5);
+"""
+    cc = compile_source(src)
+    w = cc.witness_host({"in": 2})
+    assert w[1] == 22
