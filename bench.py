@@ -1,0 +1,77 @@
+"""Benchmark: batched Poseidon(2) witness generation, witnesses/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is measured against a nominal 25,000 witnesses/sec for the
+reference's single-threaded C++ calculator on a Poseidon(2)-class circuit
+(the reference publishes no numbers — BASELINE.md; 25k/s is a generous
+estimate for ~240-constraint circuits on a modern core, so the ratio is
+conservative).  The north-star target is >=50x (BASELINE.json).
+"""
+
+import json
+import sys
+import time
+
+BASELINE_CPU_WITNESSES_PER_SEC = 25_000.0
+
+
+def main():
+    import jax
+
+    from circom_tpu.circuits.gen_poseidon import generate
+    from circom_tpu.compiler.pipeline import compile_source
+    from circom_tpu.backend.jax_backend import WitnessProgram
+    from circom_tpu.field.primes import field_spec
+
+    t0 = time.time()
+    src = generate((2,)) + "\ncomponent main = Poseidon2();\n"
+    cc = compile_source(src)
+    tape, _layout = cc.build_tape()
+    spec = field_spec("bn128")
+    prog = WitnessProgram(tape, spec, unroll_threshold=0)
+    print(f"# compile: {time.time()-t0:.2f}s, tape={len(tape.ops)} ops, "
+          f"device={jax.devices()[0].platform}", file=sys.stderr)
+
+    platform = jax.devices()[0].platform
+    batch = 8192 if platform != "cpu" else 256
+
+    import random
+
+    rng = random.Random(1234)
+    p = spec.p
+    cols = [[rng.randrange(p) for _ in range(batch)]
+            for _ in range(prog.n_inputs)]
+    arr = prog.encode_inputs(cols)
+
+    t0 = time.time()
+    out = prog.run(arr)
+    jax.block_until_ready(out)
+    print(f"# first run (jit): {time.time()-t0:.2f}s", file=sys.stderr)
+
+    # quick correctness spot check vs the host calculator
+    got = prog.decode_outputs(out[:, :1, :])
+    expect = cc.witness_host({"inputs": [cols[0][0], cols[1][0]]})
+    actual = [got[i][0] for i in range(len(got))]
+    assert actual == expect, "TPU witness mismatch vs host calculator"
+
+    reps = 3 if platform == "cpu" else 10
+    t0 = time.time()
+    for _ in range(reps):
+        out = prog.run(arr)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    wps = batch / dt
+    print(f"# steady state: {dt*1e3:.1f} ms/batch of {batch}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "poseidon2_witnesses_per_sec_per_chip",
+        "value": round(wps, 1),
+        "unit": "wit/s",
+        "vs_baseline": round(wps / BASELINE_CPU_WITNESSES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

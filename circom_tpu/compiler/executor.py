@@ -180,6 +180,16 @@ class TapeDomain:
         if op == A.POW:
             k = self.known_int(r)
             if k is not None:
+                if k == 0:
+                    return 1
+                if k <= 64:  # lower small exponents to a multiply chain
+                    base = self.ref(l)
+                    acc = None
+                    for bit in bin(k)[2:]:
+                        acc = base if acc is None else t.emit("mul", acc, acc)
+                        if bit == "1" and acc is not base:
+                            acc = t.emit("mul", acc, base)
+                    return acc
                 return t.emit("pow_k", self.ref(l), imm=k)
             return t.emit("pow", self.ref(l), self.ref(r))
         if op == A.INTDIV:

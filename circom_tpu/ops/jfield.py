@@ -35,14 +35,18 @@ class JaxField:
         c = spec_constants(spec)
         self.L = c["L"]
         self.p = c["p"]
+        # numpy constants: folded into the XLA graph at trace time, no
+        # eager device transfers at construction (eager dispatch is very
+        # slow under the axon tunnel).
         self.n0inv = np.uint32(c["n0inv"])
-        self.p_limbs = jnp.asarray(c["p_limbs"])
-        self.R2_limbs = jnp.asarray(c["R2_limbs"])
-        self.one_mont = jnp.asarray(c["one_mont_limbs"])
-        self.mask_limbs = jnp.asarray(c["mask_limbs"])
-        self.half_limbs = jnp.asarray(c["half_limbs"])
-        self.zero_limbs = jnp.zeros(self.L, jnp.uint32)
-        self.one_limbs = jnp.zeros(self.L, jnp.uint32).at[0].set(1)
+        self.p_limbs = np.asarray(c["p_limbs"])
+        self.R2_limbs = np.asarray(c["R2_limbs"])
+        self.one_mont = np.asarray(c["one_mont_limbs"])
+        self.mask_limbs = np.asarray(c["mask_limbs"])
+        self.half_limbs = np.asarray(c["half_limbs"])
+        self.zero_limbs = np.zeros(self.L, np.uint32)
+        self.one_limbs = np.zeros(self.L, np.uint32)
+        self.one_limbs[0] = 1
 
     # ------------------------------------------------------------------
     # helpers
@@ -117,6 +121,16 @@ class JaxField:
             prod = a[..., i : i + 1] * b  # exact: < 2^32
             cols = cols.at[..., i : i + L].add(prod & MASK)
             cols = cols.at[..., i + 1 : i + L + 1].add(prod >> LIMB_BITS)
+        return self.mont_reduce_cols(cols)
+
+    def mont_reduce_cols(self, cols):
+        """Montgomery-reduce a wide column accumulator: value V (given as
+        2L+1 uint32 columns, each < ~2^22, V < R*p) -> V*R^-1 mod p.
+
+        This is the tail of CIOS; also used to fold wide segment sums in
+        the R1CS checker (backend/checker.py)."""
+        L = self.L
+        shape = cols.shape[:-1]
         carry = jnp.zeros(shape, jnp.uint32)
         for i in range(L):
             t = cols[..., i] + carry

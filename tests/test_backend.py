@@ -1,0 +1,163 @@
+"""TPU backend tests: tape construction + JAX execution vs host witness."""
+
+import numpy as np
+import pytest
+
+from circom_tpu.compiler.pipeline import compile_source
+from circom_tpu.field.primes import field_spec
+from circom_tpu.backend.jax_backend import WitnessProgram
+
+SPEC = field_spec("bn128")
+P = SPEC.p
+
+
+def run_batched(src, input_batches, unroll_threshold=256):
+    """Compile circuit, run tape backend on a batch, compare against the
+    host witness calculator for every batch element."""
+    cc = compile_source(src)
+    tape, layout = cc.build_tape()
+    prog = WitnessProgram(tape, SPEC, unroll_threshold=unroll_threshold)
+    batch = len(input_batches)
+    # flatten inputs to tape column order
+    cols = [[] for _ in range(tape.n_inputs)]
+    for inputs in input_batches:
+        flat = []
+        for (name, dims, off) in layout:
+            v = inputs[name]
+            if isinstance(v, list):
+                def walk(x):
+                    for item in x:
+                        if isinstance(item, list):
+                            walk(item)
+                        else:
+                            flat.append(item % P)
+                walk(v)
+            else:
+                flat.append(v % P)
+        for i, x in enumerate(flat):
+            cols[i].append(x)
+    arr = prog.encode_inputs(cols)
+    out = prog.run(arr)
+    got = prog.decode_outputs(out)   # [witness_idx][batch]
+    for bi, inputs in enumerate(input_batches):
+        expect = cc.witness_host(inputs)
+        actual = [got[wi][bi] for wi in range(len(got))]
+        assert actual == expect, f"batch {bi}: {actual[:8]} vs {expect[:8]}"
+    return cc, tape, prog
+
+
+MULTIPLIER2 = """
+pragma circom 2.0.0;
+template Multiplier2 {
+    signal input a;
+    signal input b;
+    signal output c;
+    c <== a*b;
+}
+component main = Multiplier2();
+"""
+
+
+def test_tape_multiplier2_unroll():
+    run_batched(MULTIPLIER2, [
+        {"a": 3, "b": 11},
+        {"a": 0, "b": 5},
+        {"a": P - 1, "b": P - 1},
+    ])
+
+
+def test_tape_multiplier2_scan():
+    # force the scan path with threshold 0
+    run_batched(MULTIPLIER2, [{"a": 7, "b": 9}], unroll_threshold=0)
+
+
+NUM2BITS = """
+pragma circom 2.0.0;
+template Num2Bits(n) {
+    signal input in;
+    signal output out[n];
+    var lc1 = 0;
+    var e2 = 1;
+    for (var i = 0; i < n; i++) {
+        out[i] <-- (in >> i) & 1;
+        out[i] * (out[i] - 1) === 0;
+        lc1 += out[i] * e2;
+        e2 = e2 + e2;
+    }
+    lc1 === in;
+}
+component main = Num2Bits(16);
+"""
+
+
+def test_tape_num2bits_bit_ops():
+    run_batched(NUM2BITS, [
+        {"in": 0}, {"in": 1}, {"in": 0xBEEF}, {"in": 65535},
+    ], unroll_threshold=0)
+
+
+MIMC_LIKE = """
+pragma circom 2.0.0;
+template Mix(nrounds) {
+    signal input in;
+    signal input k;
+    signal output out;
+    signal t[nrounds];
+    signal sq[nrounds];
+    t[0] <== in + k;
+    for (var i = 1; i < nrounds; i++) {
+        sq[i] <== t[i-1] * t[i-1];
+        t[i] <== sq[i] * t[i-1] + i;
+    }
+    out <== t[nrounds-1];
+}
+component main = Mix(12);
+"""
+
+
+def test_tape_cubic_rounds_scan():
+    run_batched(MIMC_LIKE, [
+        {"in": 5, "k": 7}, {"in": 123456789, "k": 2},
+    ], unroll_threshold=0)
+
+
+SUBCOMP = """
+pragma circom 2.0.0;
+template Square() {
+    signal input in;
+    signal output out;
+    out <== in * in;
+}
+template Chain(n) {
+    signal input in;
+    signal output out;
+    component s[n];
+    for (var i = 0; i < n; i++) {
+        s[i] = Square();
+        s[i].in <== i == 0 ? in : s[i-1].out;
+    }
+    out <== s[n-1].out;
+}
+component main = Chain(4);
+"""
+
+
+def test_tape_subcomponents():
+    run_batched(SUBCOMP, [{"in": 3}, {"in": 2}])
+
+
+TERNARY_WITNESS = """
+pragma circom 2.0.0;
+template T() {
+    signal input in;
+    signal output out;
+    var v = in < 10 ? in * 2 : in + 1;
+    out <-- v;
+    out === out;  // keep it used
+}
+component main = T();
+"""
+
+
+def test_tape_data_dependent_select():
+    run_batched(TERNARY_WITNESS, [{"in": 4}, {"in": 25}])
