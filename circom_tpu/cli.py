@@ -1,0 +1,218 @@
+"""Command-line driver.
+
+Mirrors the reference CLI surface (circom/src/input_user.rs:397-585):
+
+    circom-tpu circuit.circom --r1cs --sym --json --O2 --prime bls12381 \\
+        -l lib/ -o out/
+
+plus the TPU-native additions that replace --wasm/--c code generation:
+
+    --tpu            serialize the compiled witness program (tape) artifact
+    --witness input.json [--wtns out.wtns]
+                     compute one witness with the host calculator
+    --witness-tpu inputs.json [--batch N]
+                     run the batched JAX/TPU witness program
+
+Exit code 0 on success, 1 on any reported error (main.rs:12-21).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+from .field.primes import PRIMES, field_spec
+from .utils.reports import Report, ReportCollection
+from .compiler.pipeline import compile_circuit
+from .compiler.values import ExecError
+from .emit.binfmt import write_wtns
+from .emit.inputs import load_inputs
+from .emit.json_out import constraints_json, substitutions_json
+
+
+def build_arg_parser():
+    ap = argparse.ArgumentParser(
+        prog="circom-tpu",
+        description="TPU-native circom compiler & witness generator",
+    )
+    ap.add_argument("input", help="path to the .circom file")
+    ap.add_argument("-o", "--output", default=".", help="output directory")
+    ap.add_argument("--r1cs", action="store_true",
+                    help="write <name>.r1cs")
+    ap.add_argument("--sym", action="store_true", help="write <name>.sym")
+    ap.add_argument("--json", action="store_true",
+                    help="write <name>_constraints.json")
+    ap.add_argument("--simplification_substitution", action="store_true",
+                    help="write <name>_substitutions.json")
+    ap.add_argument("--wasm", action="store_true",
+                    help="(compat) accepted; the TPU program replaces wasm")
+    ap.add_argument("-c", "--c", dest="cgen", action="store_true",
+                    help="(compat) accepted; the TPU program replaces C++")
+    ap.add_argument("--tpu", action="store_true",
+                    help="serialize the TPU witness program artifact")
+    group = ap.add_mutually_exclusive_group()
+    group.add_argument("--O0", action="store_true",
+                       help="no simplification")
+    group.add_argument("--O1", action="store_true",
+                       help="signal/constant simplification (default)")
+    group.add_argument("--O2", action="store_true",
+                       help="full constraint simplification")
+    ap.add_argument("--O2round", type=int, default=0, metavar="N",
+                    help="--O2 with N simplification rounds")
+    ap.add_argument("-p", "--prime", default="bn128",
+                    choices=sorted(PRIMES.keys()))
+    ap.add_argument("-l", dest="link_libraries", action="append",
+                    default=[], metavar="DIR",
+                    help="include search directory (repeatable)")
+    ap.add_argument("--inspect", action="store_true",
+                    help="extra constraint analysis warnings")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--no_init", action="store_true",
+                    help="do not initialize vars to 0")
+    ap.add_argument("--sanity_check", type=int, default=2, choices=[0, 1, 2, 3])
+    ap.add_argument("--use_old_simplification_heuristics",
+                    action="store_true")
+    ap.add_argument("--parallel", action="store_true",
+                    help="(compat) simplification is always cluster-parallel")
+    # witness generation
+    ap.add_argument("--witness", metavar="INPUT_JSON",
+                    help="compute a witness from input.json (host path)")
+    ap.add_argument("--wtns", metavar="OUT_WTNS",
+                    help="witness output path (default <name>.wtns)")
+    ap.add_argument("--witness-tpu", metavar="INPUTS_JSON",
+                    help="batched witness via JAX (json list of input maps)")
+    return ap
+
+
+def main(argv=None):
+    ap = build_arg_parser()
+    args = ap.parse_args(argv)
+    name = os.path.splitext(os.path.basename(args.input))[0]
+    outdir = args.output
+    os.makedirs(outdir, exist_ok=True)
+
+    simpl = "O1"
+    rounds = 0
+    if args.O0:
+        simpl = "O0"
+    elif args.O2 or args.O2round:
+        simpl = "O2"
+        rounds = args.O2round or 1
+
+    try:
+        cc = compile_circuit(
+            args.input, prime=args.prime,
+            link_libraries=args.link_libraries, no_init=args.no_init,
+            simplification=simpl, rounds=rounds,
+        )
+    except (Report, ReportCollection) as r:
+        _print_reports(r, None)
+        return 1
+    except ExecError as e:
+        _print_reports(e.report, None)
+        return 1
+
+    c = cc.counts()
+    rows = cc.r1cs_rows()
+    n_lin = sum(1 for (a, b, _c2) in rows if not a and not b)
+    print(f"template instances: {len(cc.dag.nodes)}")
+    print(f"non-linear constraints: {len(rows) - n_lin}")
+    print(f"linear constraints: {n_lin}")
+    print(f"public inputs: {c['n_pub_in']}")
+    print(f"private inputs: {c['n_prv_in']}")
+    print(f"public outputs: {c['n_pub_out']}")
+    print(f"wires: {c['n_wires']}")
+    print(f"labels: {c['n_labels']}")
+
+    if args.r1cs:
+        path = os.path.join(outdir, f"{name}.r1cs")
+        cc.write_r1cs(path)
+        print(f"written successfully: {path}")
+    if args.sym:
+        path = os.path.join(outdir, f"{name}.sym")
+        cc.write_sym(path)
+        print(f"written successfully: {path}")
+    if args.json:
+        path = os.path.join(outdir, f"{name}_constraints.json")
+        with open(path, "w") as f:
+            f.write(constraints_json(rows))
+        print(f"written successfully: {path}")
+    if args.simplification_substitution:
+        path = os.path.join(outdir, f"{name}_substitutions.json")
+        subs = {} if cc.simplified is None else cc.simplified.substitutions
+        with open(path, "w") as f:
+            f.write(substitutions_json(subs))
+        print(f"written successfully: {path}")
+    if args.tpu or args.wasm or args.cgen:
+        from .backend.artifacts import save_program
+
+        path = os.path.join(outdir, f"{name}.tpu.json")
+        save_program(cc, path)
+        print(f"written successfully: {path}")
+
+    if args.witness:
+        try:
+            inputs = load_inputs(args.witness, cc.p)
+            w = cc.witness_host(inputs, sanity_check=args.sanity_check)
+        except (Report, ReportCollection) as r:
+            _print_reports(r, cc.archive.file_library)
+            return 1
+        except ExecError as e:
+            _print_reports(e.report, cc.archive.file_library)
+            return 1
+        wtns = args.wtns or os.path.join(outdir, f"{name}.wtns")
+        write_wtns(wtns, cc.p, w)
+        print(f"witness written successfully: {wtns}")
+
+    if getattr(args, "witness_tpu", None):
+        from .backend.jax_backend import WitnessProgram
+
+        with open(args.witness_tpu) as f:
+            batch_inputs = json.load(f)
+        if isinstance(batch_inputs, dict):
+            batch_inputs = [batch_inputs]
+        tape, layout = cc.build_tape()
+        prog = WitnessProgram(tape, field_spec(args.prime),
+                              unroll_threshold=0)
+        cols = _batch_columns(cc, batch_inputs, layout, prog)
+        out = prog.run(prog.encode_inputs(cols))
+        decoded = prog.decode_outputs(out)
+        for bi in range(len(batch_inputs)):
+            wtns = os.path.join(outdir, f"{name}.{bi}.wtns")
+            write_wtns(wtns, cc.p,
+                       [decoded[i][bi] for i in range(len(decoded))])
+        print(f"{len(batch_inputs)} witnesses written to {outdir}")
+    return 0
+
+
+def _batch_columns(cc, batch_inputs, layout, prog):
+    cols = [[] for _ in range(prog.n_inputs)]
+    for raw in batch_inputs:
+        inputs = load_inputs(raw, cc.p)
+        flat = []
+        for (name, dims, off) in layout:
+            v = inputs.get(name)
+            if v is None:
+                raise Report.error(f"missing input '{name}'", "T3011")
+            if isinstance(v, list):
+                def walk(x):
+                    for item in x:
+                        walk(item) if isinstance(item, list) else flat.append(item)
+                walk(v)
+            else:
+                flat.append(v)
+        for i, x in enumerate(flat):
+            cols[i].append(x)
+    return cols
+
+
+def _print_reports(r, file_library):
+    if isinstance(r, ReportCollection):
+        print(r.render(file_library), file=sys.stderr)
+    else:
+        print(r.render(file_library), file=sys.stderr)
+    print("previous errors were found", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,8 +1,9 @@
 """Compilation pipeline: source -> archive -> DAG -> artifacts -> witness.
 
 Drives the same sequence as the reference CLI (circom/src/main.rs:23-70):
-parse -> analyse -> execute (constraints + instances) -> export, plus the
-TPU-specific witness paths (host calculator / tape).
+parse -> analyse -> execute (constraints + instances) -> simplify
+(O0/O1/O2, constraint_list crate) -> export, plus the TPU-specific
+witness paths (host calculator / tape).
 """
 
 import os
@@ -10,42 +11,92 @@ import os
 from ..frontend.archive import run_parser
 from ..frontend import ast as A
 from ..field.primes import PRIMES, field_spec
+from ..field.hostfield import HostField
 from ..utils.reports import Report, ReportCollection
 from ..emit.binfmt import write_r1cs, write_wtns, field_size_bytes
 from ..backend.tape import Tape
 from .executor import Executor
 from .dag import DAG
+from .simplify import SimplifiedSystem, simplify
 
 
 class CompiledCircuit:
-    def __init__(self, archive, dag: DAG, memo, main_node_id):
+    def __init__(self, archive, dag: DAG, memo, main_node_id,
+                 simplification: str = "O1", rounds: int = 0):
         self.archive = archive
         self.dag = dag
         self.memo = memo
         self.main_node_id = main_node_id
         self.p = archive.field_p
+        self.simplification = simplification
+        self.hf = HostField(field_spec(archive.prime))
+        if simplification == "O0":
+            self.simplified = None
+        else:
+            self.simplified = simplify(dag, self.hf, simplification, rounds)
 
     # -- constraint artifacts -------------------------------------------
     def r1cs_rows(self):
-        """O0 constraint rows with global wire ids (identity witness map)."""
-        return [(c.a, c.b, c.c) for c in self.dag.global_constraints()]
+        """Constraint rows over final wire ids."""
+        if self.simplified is None:
+            return [(c.a, c.b, c.c) for c in self.dag.global_constraints()]
+        return self.simplified.remapped_rows()
+
+    def counts(self):
+        n_out, n_pub_in, n_prv_in = self.dag.public_info()
+        if self.simplified is None:
+            n_wires = self.dag.total_signals()
+            labels = n_wires
+            wire2label = list(range(n_wires))
+        else:
+            n_wires = self.simplified.no_wires()
+            labels = self.simplified.n_labels
+            wire2label = self.simplified.witness_as_vec()
+        return {
+            "n_wires": n_wires, "n_labels": labels,
+            "n_pub_out": n_out, "n_pub_in": n_pub_in, "n_prv_in": n_prv_in,
+            "wire2label": wire2label,
+        }
 
     def write_r1cs(self, path):
-        n_out, n_pub_in, n_prv_in = self.dag.public_info()
-        n_wires = self.dag.total_signals()
+        c = self.counts()
+        custom = self.archive.custom_gates
+        kw = {}
+        if custom:
+            kw["custom_gates_used"] = self._custom_gates_used()
+            kw["custom_gates_applied"] = self._custom_gates_applied()
         write_r1cs(
-            path, self.p,
-            [(c.a, c.b, c.c) for c in self.dag.global_constraints()],
-            n_wires, n_out, n_pub_in, n_prv_in, n_wires,
+            path, self.p, self.r1cs_rows(),
+            c["n_wires"], c["n_pub_out"], c["n_pub_in"], c["n_prv_in"],
+            c["n_labels"], wire2label=c["wire2label"], **kw,
         )
+
+    def _custom_gates_used(self):
+        out = []
+        for node in self.dag.nodes:
+            if node.is_custom_gate:
+                name = node.template_name
+                out.append((name, node.parameters))
+        return out
+
+    def _custom_gates_applied(self):
+        order = [n.template_name for n in self.dag.nodes if n.is_custom_gate]
+        out = []
+        for _path, node, offset in self.dag.walk():
+            if node.is_custom_gate:
+                signals = [s + offset for s in node.ordered_signals]
+                out.append((order.index(node.template_name), signals))
+        return out
 
     def sym_lines(self):
         """`original,witness,node_id,symbol` lines
-        (constraint_writers/src/sym_writer.rs:4-37, O0 mapping)."""
-        return [
-            f"{gid},{gid},{nid},{name}"
-            for (gid, nid, name) in self.dag.sym_entries()
-        ]
+        (constraint_writers/src/sym_writer.rs:4-37)."""
+        lines = []
+        smap = None if self.simplified is None else self.simplified.signal_map
+        for (gid, nid, name) in self.dag.sym_entries():
+            wit = gid if smap is None else smap.get(gid, -1)
+            lines.append(f"{gid},{wit},{nid},{name}")
+        return lines
 
     def write_sym(self, path):
         with open(path, "w") as f:
@@ -54,43 +105,44 @@ class CompiledCircuit:
 
     # -- witness paths ---------------------------------------------------
     def witness_host(self, inputs: dict, sanity_check=2):
-        """Reference-semantics host witness calculation -> list of ints
-        in witness order ([1, signals…], O0 identity order)."""
+        """Reference-semantics host witness calculation -> canonical ints
+        in final witness order."""
         ex = Executor(self.archive, "hostwit", dag=self.dag, memo=self.memo,
                       sanity_check=sanity_check)
         ex.run_witness(inputs)
-        return self._assemble(ex.instances_by_path, const_one=1)
+        full = self._assemble(ex.instances_by_path, const_one=1)
+        return self._select_witness(full)
+
+    def _select_witness(self, full):
+        if self.simplified is None:
+            return full
+        return [full[old] for old in self.simplified.witness_as_vec()]
 
     def build_tape(self):
         """Flatten the witness computation to an SSA tape (TPU path).
 
-        Inputs are tape input nodes in main-input declaration order
-        (row-major elements).
+        Tape outputs are the FINAL witness (simplification-compacted).
         """
         tape = Tape(self.p)
         main_node = self.dag.nodes[self.main_node_id]
         inputs = {}
         idx = 0
+        from .values import Slice
+
         for (name, dims, xtype, _tags) in main_node.wire_info:
             if xtype == A.SignalType.INPUT:
                 n = 1
                 for d in dims:
                     n *= d
-                from .values import Slice
-
                 refs = [tape.input(idx + j) for j in range(n)]
                 inputs[name] = Slice(dims, refs)
                 idx += n
         ex = Executor(self.archive, "tape", tape=tape, dag=self.dag,
                       memo=self.memo)
         ex.run_witness(inputs)
-        refs = self._assemble(ex.instances_by_path, const_one=None)
-        out_refs = []
-        for r in refs:
-            if isinstance(r, int):
-                out_refs.append(tape.const(r))
-            else:
-                out_refs.append(r)
+        full = self._assemble(ex.instances_by_path, const_one=1)
+        refs = self._select_witness(full)
+        out_refs = [tape.const(r) if isinstance(r, int) else r for r in refs]
         tape.set_outputs(out_refs)
         return tape, self.input_layout()
 
@@ -110,7 +162,7 @@ class CompiledCircuit:
 
     def _assemble(self, instances_by_path, const_one):
         """Collect witness values in O0 global order ([0]=1, then DFS)."""
-        values = [const_one if const_one is not None else 1]
+        values = [const_one]
         for path, node, offset in self.dag.walk():
             inst = instances_by_path.get(path)
             if inst is None:
@@ -126,17 +178,20 @@ class CompiledCircuit:
         return values
 
     def witness_order_size(self):
-        return self.dag.total_signals()
+        c = self.counts()
+        return c["n_wires"]
 
 
 def compile_circuit(path: str, prime: str = "bn128", link_libraries=(),
-                    no_init: bool = False) -> CompiledCircuit:
+                    no_init: bool = False, simplification: str = "O1",
+                    rounds: int = 0) -> CompiledCircuit:
     spec = field_spec(prime)
     archive, warnings = run_parser(
         path, spec.p, prime, link_libraries, no_init)
     ex = Executor(archive, "constrain")
     main_node_id = ex.run_constrain()
-    return CompiledCircuit(archive, ex.dag, ex.memo, main_node_id)
+    return CompiledCircuit(archive, ex.dag, ex.memo, main_node_id,
+                           simplification, rounds)
 
 
 def compile_source(source: str, prime: str = "bn128", tmpdir=None,

@@ -47,7 +47,7 @@ def field_size_bytes(p: int) -> int:
 
 
 def write_r1cs(path, p: int, constraints, n_wires, n_pub_out, n_pub_in,
-               n_prv_in, n_labels, custom_gates_used=None,
+               n_prv_in, n_labels, wire2label=None, custom_gates_used=None,
                custom_gates_applied=None):
     """constraints: iterable of (a, b, c) dicts over wire ids."""
     fs = field_size_bytes(p)
@@ -70,9 +70,8 @@ def write_r1cs(path, p: int, constraints, n_wires, n_pub_out, n_pub_in,
     header_blob += struct.pack("<Q", n_labels)
     header_blob += struct.pack("<I", n_cons)
 
-    wire2label_blob = b"".join(
-        struct.pack("<Q", lab) for lab in range(n_labels)
-    ) if isinstance(n_labels, int) else b""
+    labels = wire2label if wire2label is not None else range(n_wires)
+    wire2label_blob = b"".join(struct.pack("<Q", lab) for lab in labels)
 
     with open(path, "wb") as f:
         f.write(b"r1cs")
@@ -109,11 +108,6 @@ def write_r1cs(path, p: int, constraints, n_wires, n_pub_out, n_pub_in,
             f.write(struct.pack("<I", 5))
             f.write(struct.pack("<Q", len(blob5)))
             f.write(blob5)
-
-
-def write_r1cs_custom_labels(path, p, constraints, n_wires, pubs, labels,
-                             **kw):
-    raise NotImplementedError
 
 
 def read_r1cs(path):

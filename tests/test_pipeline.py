@@ -28,7 +28,7 @@ component main = Multiplier2();
 
 
 def test_multiplier2_constraints():
-    cc = compile_source(MULTIPLIER2)
+    cc = compile_source(MULTIPLIER2, simplification="O0")
     rows = cc.r1cs_rows()
     assert len(rows) == 1
     a, b, c = rows[0]
@@ -42,7 +42,7 @@ def test_multiplier2_constraints():
 
 
 def test_multiplier2_sym():
-    cc = compile_source(MULTIPLIER2)
+    cc = compile_source(MULTIPLIER2, simplification="O0")
     assert cc.sym_lines() == [
         "1,1,0,main.c",
         "2,2,0,main.a",
@@ -104,7 +104,7 @@ component main = Multiplier3();
 
 
 def test_multiplier3():
-    cc = compile_source(MULTIPLIER3)
+    cc = compile_source(MULTIPLIER3, simplification="O0")
     # nodes: Multiplier2 (memoized once) + Multiplier3
     assert len(cc.dag.nodes) == 2
     w = cc.witness_host({"in1": 2, "in2": 3, "in3": 5})
@@ -219,3 +219,52 @@ component main = T(5);
     cc = compile_source(src)
     w = cc.witness_host({"in": 2})
     assert w[1] == 22
+
+
+def test_multiplier3_O1_simplification():
+    """O1 removes io-link equalities and compacts the witness
+    (constraint_simplification.rs eq_simplification semantics)."""
+    cc = compile_source(MULTIPLIER3)  # default O1
+    w = cc.witness_host({"in1": 2, "in2": 3, "in3": 5})
+    # wires: 1, out, in1, in2, in3, m1.c   (m1/m2 io aliased away)
+    assert w == [1, 30, 2, 3, 5, 6]
+    rows = cc.r1cs_rows()
+    assert len(rows) == 2
+    assert all(a and b for (a, b, _c) in rows)  # both quadratic
+    c = cc.counts()
+    assert c["n_wires"] == 6 and c["n_labels"] == 11
+    # sym: removed signals get witness -1
+    syms = {l.split(",")[3]: int(l.split(",")[1]) for l in cc.sym_lines()}
+    assert syms["main.m1.a"] == -1 and syms["main.in1"] == 2
+
+
+def test_O2_linear_elimination():
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input a;
+    signal input b;
+    signal inter;
+    signal output out;
+    inter <== a + 2*b;
+    out <== inter * inter;
+}
+component main = T();
+"""
+    cc1 = compile_source(src, simplification="O1")
+    cc2 = compile_source(src, simplification="O2")
+    # O1 keeps the linear definition of inter; O2 eliminates inter
+    assert len(cc1.r1cs_rows()) == 2
+    assert len(cc2.r1cs_rows()) == 1
+    w1 = cc1.witness_host({"a": 3, "b": 4})
+    w2 = cc2.witness_host({"a": 3, "b": 4})
+    assert w1[1] == 121 and w2[1] == 121
+    assert len(w2) == len(w1) - 1
+    # the surviving quadratic constraint must hold over the O2 witness
+    from circom_tpu.compiler.algebra import CONST
+    (a, b, c), = cc2.r1cs_rows()
+    P = cc2.p
+    def ev(lc, w):
+        return sum(v * (1 if k == CONST else 0) + (w[k] * v if k != CONST else 0)
+                   for k, v in lc.items()) % P
+    assert (ev(a, w2) * ev(b, w2) - ev(c, w2)) % P == 0
