@@ -3,24 +3,26 @@
 Replaces the reference's code_producers (WASM/C++ emission): the tape runs
 as ONE XLA program, batch axis = independent witnesses.
 
-Key design points (TPU-first):
+TPU-first design:
 
 * Every tape op is a fully-batched VPU op over ``uint32[batch, L]`` limb
-  planes; with batches of thousands, a single op saturates the VPU, so ops
-  execute sequentially via ``lax.scan`` over a static instruction table.
-  XLA graph size is O(#opcode branches), independent of circuit size —
-  SHA256-class tapes (100k+ ops) compile in constant graph size.
-* A domain-assignment pass rewrites the tape so mul/div chains run in
-  Montgomery form and comparisons/bit ops in canonical form, inserting
-  (cached) conversions at boundaries — Poseidon-style circuits pay zero
-  conversions inside the hot loop.
-* Registers are reused via linear-scan liveness, bounding the register
-  file (R, batch, L) to the live width of the DAG.
+  planes.  Independent ops of the same opcode at the same dataflow level
+  are PACKED into one vector step of up to ``slots`` lanes — one gather /
+  one field-op / one scatter on ``uint32[S, batch, L]`` — so per-step
+  overhead amortizes and the MDS-style intra-round parallelism of hash
+  circuits is exploited on top of the batch axis.
+* Steps execute via ``lax.scan`` over static instruction tables with a
+  ``lax.switch`` restricted to the opcodes actually present: XLA graph
+  size is O(#distinct opcodes), independent of circuit size.
+* A domain-assignment pass runs mul/div chains in Montgomery form and
+  comparisons/bit ops in canonical form, inserting cached conversions at
+  boundaries (zero conversions inside Poseidon-style mul/add circuits).
+* Registers are reused via linear-scan liveness over the packed schedule.
 * Small tapes skip scan and unroll directly (XLA fuses everything).
 
-Sharding: all ops are elementwise over the batch axis, so sharding the
+Sharding: all ops are elementwise over the batch axis; sharding the
 inputs' batch dimension over a mesh runs multi-chip with zero collectives
-(see circom_tpu/parallel/mesh.py).
+(circom_tpu/parallel/mesh.py).
 """
 
 import numpy as np
@@ -35,17 +37,12 @@ from .tape import OPS, Tape
 MONT = 0
 NORM = 1
 
-# required operand/result domains: None = any/inherit
-_OP_DOMAIN = {
-    "mul": MONT, "div": MONT, "pow_k": MONT, "pow": MONT,
-    "lt": NORM, "le": NORM, "gt": NORM, "ge": NORM, "eq": NORM,
-    "neq": NORM, "land": NORM, "lor": NORM, "lnot": NORM,
-    "band": NORM, "bor": NORM, "bxor": NORM, "bnot": NORM,
-    "shl_k": NORM, "shr_k": NORM, "shl": NORM, "shr": NORM,
-    "idiv": NORM, "mod": NORM,
+_NORM_OPS = {
+    "lt", "le", "gt", "ge", "eq", "neq", "land", "lor", "lnot",
+    "band", "bor", "bxor", "bnot", "shl_k", "shr_k", "shl", "shr",
+    "idiv", "mod",
 }
-_FLEX_OPS = {"add", "sub", "neg", "select"}
-# result domain of NORM-required ops is NORM; of MONT ops is MONT
+_MONT_OPS = {"mul", "div", "pow_k", "pow"}
 _UNSUPPORTED_JAX = {"shl", "shr", "idiv", "mod", "pow"}
 
 
@@ -65,20 +62,17 @@ class DomainTape:
     def _build(self, tape: Tape):
         n = len(tape.ops)
         dom = [None] * n
-        # forward pass: fix domains
         for i in range(n):
             op = tape.ops[i]
             if op == "const":
                 dom[i] = None  # materialized per use
             elif op == "input":
                 dom[i] = NORM
-            elif op in _OP_DOMAIN:
-                dom[i] = MONT if _OP_DOMAIN[op] == MONT else NORM
-                if op in ("lt", "le", "gt", "ge", "eq", "neq", "land",
-                          "lor", "lnot", "band", "bor", "bxor", "bnot",
-                          "shl_k", "shr_k"):
-                    dom[i] = NORM
-            else:  # flexible: majority of operand domains, default MONT
+            elif op in _MONT_OPS:
+                dom[i] = MONT
+            elif op in _NORM_OPS:
+                dom[i] = NORM
+            else:  # flexible (add/sub/neg/select): majority, default MONT
                 ds = [dom[a] for a in tape.args[i]]
                 known = [d for d in ds if d is not None]
                 if not known:
@@ -86,9 +80,7 @@ class DomainTape:
                 else:
                     dom[i] = MONT if known.count(MONT) * 2 >= len(known) \
                         else NORM
-        # emission with conversion insertion
-        new_id = {}       # (src_id, domain) -> new node id
-        self._new_ops = self.ops
+        new_id = {}
 
         def emit(op, args, imm, domain):
             nid = len(self.ops)
@@ -107,7 +99,7 @@ class DomainTape:
                 if key not in new_id:
                     new_id[key] = emit("const", (), tape.imms[src_id], w)
                 return new_id[key]
-            if want is None or d == want or d is None:
+            if want is None or d == want:
                 return new_id[(src_id, d)]
             key = (src_id, want)
             if key not in new_id:
@@ -118,7 +110,7 @@ class DomainTape:
         for i in range(n):
             op = tape.ops[i]
             if op == "const":
-                continue  # materialized lazily per domain
+                continue
             if op == "input":
                 new_id[(i, NORM)] = emit("input", (), tape.imms[i], NORM)
                 continue
@@ -126,9 +118,10 @@ class DomainTape:
                 c, a, b = tape.args[i]
                 d = dom[i]
                 args = (get_in(c, None), get_in(a, d), get_in(b, d))
-            elif op in _OP_DOMAIN:
-                want = _OP_DOMAIN[op]
-                args = tuple(get_in(a, want) for a in tape.args[i])
+            elif op in _MONT_OPS:
+                args = tuple(get_in(a, MONT) for a in tape.args[i])
+            elif op in _NORM_OPS:
+                args = tuple(get_in(a, NORM) for a in tape.args[i])
             else:
                 d = dom[i]
                 args = tuple(get_in(a, d) for a in tape.args[i])
@@ -138,20 +131,11 @@ class DomainTape:
             self.outputs.append(get_in(out, NORM))
 
 
-_BRANCH_OPS = [
-    "const_or_input",  # never executed; placeholder id 0
-    "add", "sub", "mul", "div", "neg",
-    "lt", "le", "gt", "ge", "eq", "neq",
-    "land", "lor", "lnot", "band", "bor", "bxor", "bnot",
-    "shl_k", "shr_k", "pow_k", "select", "to_mont", "from_mont",
-]
-_OPCODE_ID = {op: i for i, op in enumerate(_BRANCH_OPS)}
-
-
 class WitnessProgram:
     """Executable form of a tape for one field."""
 
-    def __init__(self, tape: Tape, spec: FieldSpec, unroll_threshold=256):
+    def __init__(self, tape: Tape, spec: FieldSpec, unroll_threshold=256,
+                 slots=8):
         for op in set(tape.ops):
             if op in _UNSUPPORTED_JAX:
                 raise NotImplementedError(
@@ -162,188 +146,233 @@ class WitnessProgram:
         self.jf = JaxField(spec)
         self.dt = DomainTape(tape)
         self.n_inputs = tape.n_inputs
+        self.slots = max(1, slots)
         self.unroll = len(self.dt.ops) <= unroll_threshold
-        self._allocate()
+        self._schedule_and_allocate()
         self._jit = None
 
-    # -- register allocation (linear scan with reuse) --------------------
-    def _allocate(self):
+    # -- schedule: pack same-(level, opcode) nodes into vector steps -----
+    def _schedule_and_allocate(self):
         dt = self.dt
         n = len(dt.ops)
-        last_use = [i for i in range(n)]
+        S = self.slots
+        level = [0] * n
+        compute_nodes = []
+        for i in range(n):
+            if dt.ops[i] in ("const", "input"):
+                level[i] = 0
+                continue
+            lv = 0
+            for a in dt.args[i]:
+                lv = max(lv, level[a] + 1)
+            level[i] = lv
+            compute_nodes.append(i)
+        # group by (level, opcode); deterministic order
+        compute_nodes.sort(key=lambda i: (level[i], dt.ops[i], i))
+        steps_nodes = []  # list of (opcode, [node ids])
+        j = 0
+        while j < len(compute_nodes):
+            i0 = compute_nodes[j]
+            key = (level[i0], dt.ops[i0])
+            k = j
+            while (k < len(compute_nodes)
+                   and (level[compute_nodes[k]], dt.ops[compute_nodes[k]])
+                   == key and k - j < S):
+                k += 1
+            steps_nodes.append((dt.ops[i0], compute_nodes[j:k]))
+            j = k
+        # schedule position of each node (step index; loads at -1)
+        pos = [-1] * n
+        for si, (_op, nodes) in enumerate(steps_nodes):
+            for i in nodes:
+                pos[i] = si
+        # liveness over step positions
+        last_use = [pos[i] for i in range(n)]
         for i in range(n):
             for a in dt.args[i]:
-                last_use[a] = i
+                last_use[a] = max(last_use[a], pos[i])
+        INF = len(steps_nodes) + 1
         for o in dt.outputs:
-            last_use[o] = n  # outputs live to the end
+            last_use[o] = INF
         reg_of = [None] * n
         free = []
         next_reg = 0
-        steps = []
-        const_loads = []   # (reg, value, domain)
-        input_loads = []   # (reg, input_index)
-        expiring = [[] for _ in range(n + 1)]
-        # consts/inputs are loaded into the register file at time 0, so
-        # their registers must be allocated up front (lifetime [0, last_use])
-        # or an earlier step could clobber them.
+        expiring = [[] for _ in range(len(steps_nodes) + 2)]
+        const_loads, input_loads = [], []
         for i in range(n):
-            op = dt.ops[i]
-            if op not in ("const", "input"):
-                continue
-            reg = next_reg
-            next_reg += 1
-            reg_of[i] = reg
-            if last_use[i] < n:
-                expiring[last_use[i] + 1].append(reg)
-            if op == "const":
-                const_loads.append((reg, dt.imms[i], dt.domains[i]))
-            else:
-                input_loads.append((reg, dt.imms[i]))
-        for i in range(n):
-            # free registers whose last use was before i
-            for r in expiring[i]:
-                free.append(r)
-            op = dt.ops[i]
-            if op in ("const", "input"):
-                continue
-            if free:
-                reg = free.pop()
-            else:
+            if dt.ops[i] in ("const", "input"):
                 reg = next_reg
                 next_reg += 1
-            reg_of[i] = reg
-            if last_use[i] < n:
-                expiring[last_use[i] + 1].append(reg)
-            args = [reg_of[a] for a in dt.args[i]]
-            while len(args) < 3:
-                args.append(0)
-            imm = dt.imms[i] if dt.imms[i] is not None else 0
-            if imm >= 2 ** 31:
-                raise NotImplementedError(
-                    f"immediate too large for op '{op}' "
-                    "(use the host witness calculator)"
-                )
-            steps.append((_OPCODE_ID[op], args[0], args[1], args[2],
-                          reg, imm))
-        self.n_regs = max(next_reg, 1)
-        self.steps = np.asarray(steps, dtype=np.int32) if steps else \
-            np.zeros((0, 6), np.int32)
+                reg_of[i] = reg
+                if last_use[i] < INF:
+                    expiring[last_use[i] + 1].append(reg)
+                if dt.ops[i] == "const":
+                    const_loads.append((reg, dt.imms[i], dt.domains[i]))
+                else:
+                    input_loads.append((reg, dt.imms[i]))
+        for si, (_opname, nodes) in enumerate(steps_nodes):
+            for r in expiring[si]:
+                free.append(r)
+            for i in nodes:
+                reg = free.pop() if free else next_reg
+                if reg == next_reg:
+                    next_reg += 1
+                reg_of[i] = reg
+                if last_use[i] < INF:
+                    expiring[last_use[i] + 1].append(reg)
+        self.n_regs = next_reg + 1  # +1 trash register for padding slots
+        trash = next_reg
+        # opcode table restricted to present ops
+        present = sorted({op for (op, _nodes) in steps_nodes})
+        self.branch_ops = present
+        op_id = {op: k for k, op in enumerate(present)}
+        n_steps = len(steps_nodes)
+        opc = np.zeros(n_steps, np.int32)
+        a_i = np.zeros((n_steps, S), np.int32)
+        b_i = np.zeros((n_steps, S), np.int32)
+        c_i = np.zeros((n_steps, S), np.int32)
+        o_i = np.full((n_steps, S), trash, np.int32)
+        imm = np.zeros((n_steps, S), np.int64)
+        for si, (opname, nodes) in enumerate(steps_nodes):
+            opc[si] = op_id[opname]
+            for sj, i in enumerate(nodes):
+                args = dt.args[i]
+                if len(args) > 0:
+                    a_i[si, sj] = reg_of[args[0]]
+                if len(args) > 1:
+                    b_i[si, sj] = reg_of[args[1]]
+                if len(args) > 2:
+                    c_i[si, sj] = reg_of[args[2]]
+                o_i[si, sj] = reg_of[i]
+                v = dt.imms[i]
+                if v is not None:
+                    if v >= 2 ** 31:
+                        raise NotImplementedError(
+                            f"immediate too large for op '{opname}'")
+                    imm[si, sj] = v
+        self.tables = (opc, a_i, b_i, c_i, o_i, imm.astype(np.int32))
         self.const_loads = const_loads
         self.input_loads = input_loads
-        self.out_regs = np.asarray([reg_of[o] for o in dt.outputs],
-                                   dtype=np.int32)
+        self.out_regs = np.asarray([reg_of[o] for o in dt.outputs], np.int32)
+        self.n_steps = n_steps
 
-    # -- branch library --------------------------------------------------
-    def _branches(self):
+    # -- branch library: each takes (a, b, c, imm) with shapes
+    #    (S, batch, L) / imm (S,) and returns (S, batch, L) --------------
+    def _branch(self, opname):
         jf = self.jf
         L = jf.L
 
         def shr_dyn(a, k):
-            q = (k // LIMB_BITS).astype(jnp.uint32)
-            r = (k % LIMB_BITS).astype(jnp.uint32)
-            idx = jnp.arange(L, dtype=jnp.uint32) + q
-            valid = idx < L
-            idxc = jnp.minimum(idx, L - 1).astype(jnp.int32)
-            g = jnp.where(valid, a[..., idxc], 0)
+            # per-slot dynamic right shift, k: (S,) uint32 in [0, bits)
+            q = (k // LIMB_BITS).astype(jnp.int32)[:, None, None]
+            r = (k % LIMB_BITS).astype(jnp.uint32)[:, None, None]
+            idx = jnp.broadcast_to(
+                jnp.arange(L, dtype=jnp.int32)[None, None, :] + q, a.shape)
+            g = jnp.take_along_axis(a, jnp.minimum(idx, L - 1), axis=-1)
+            g = jnp.where(idx < L, g, 0)
             idx2 = idx + 1
-            valid2 = idx2 < L
-            idx2c = jnp.minimum(idx2, L - 1).astype(jnp.int32)
-            g2 = jnp.where(valid2, a[..., idx2c], 0)
+            g2 = jnp.take_along_axis(a, jnp.minimum(idx2, L - 1), axis=-1)
+            g2 = jnp.where(idx2 < L, g2, 0)
             return (g >> r) | ((g2 << (LIMB_BITS - r)) & MASK)
 
         def shl_dyn(a, k):
-            q = (k // LIMB_BITS).astype(jnp.int32)
-            r = (k % LIMB_BITS).astype(jnp.uint32)
-            idx = jnp.arange(L, dtype=jnp.int32) - q
-            valid = idx >= 0
-            idxc = jnp.maximum(idx, 0)
-            g = jnp.where(valid, a[..., idxc], 0)
+            q = (k // LIMB_BITS).astype(jnp.int32)[:, None, None]
+            r = (k % LIMB_BITS).astype(jnp.uint32)[:, None, None]
+            idx = jnp.broadcast_to(
+                jnp.arange(L, dtype=jnp.int32)[None, None, :] - q, a.shape)
+            g = jnp.take_along_axis(a, jnp.maximum(idx, 0), axis=-1)
+            g = jnp.where(idx >= 0, g, 0)
             idx2 = idx - 1
-            valid2 = idx2 >= 0
-            idx2c = jnp.maximum(idx2, 0)
-            g2 = jnp.where(valid2, a[..., idx2c], 0)
+            g2 = jnp.take_along_axis(a, jnp.maximum(idx2, 0), axis=-1)
+            g2 = jnp.where(idx2 >= 0, g2, 0)
             res = (((g << r) & MASK) | (g2 >> (LIMB_BITS - r))) \
                 & jf.mask_limbs
             return jf._cond_sub_p(res, jnp.zeros(res.shape[:-1], jnp.uint32))
 
         def pow_dyn(a, e):
-            # e: uint32 scalar exponent (static per-step value, traced)
+            e = e.astype(jnp.uint32)[:, None, None]
+
             def body(i, acc):
                 acc = jf.mont_mul(acc, acc)
-                bit = (e >> (31 - i)) & 1
-                return jnp.where(bit.astype(bool), jf.mont_mul(acc, a), acc)
+                bit = ((e >> (31 - i)) & 1).astype(bool)
+                return jnp.where(bit, jf.mont_mul(acc, a), acc)
 
             init = jnp.broadcast_to(jf.one_mont, a.shape)
             return lax.fori_loop(0, 32, body, init)
 
-        def select(c, a, b):
-            return jf.select_bool(jf.as_bool(c), a, b)
-
-        two = lambda f: (lambda a, b, c, k: f(a, b))
-        one = lambda f: (lambda a, b, c, k: f(a))
-
-        return [
-            lambda a, b, c, k: a,                      # placeholder
-            two(jf.add), two(jf.sub), two(jf.mont_mul), two(jf.div_mont),
-            one(jf.neg),
-            two(jf.lt), two(jf.le), two(jf.gt), two(jf.ge),
-            two(jf.eq), two(jf.neq),
-            two(jf.bool_and), two(jf.bool_or), one(jf.bool_not),
-            two(jf.bit_and), two(jf.bit_or), two(jf.bit_xor),
-            one(jf.complement),
-            lambda a, b, c, k: shl_dyn(a, k),
-            lambda a, b, c, k: shr_dyn(a, k),
-            lambda a, b, c, k: pow_dyn(a, k),
-            lambda a, b, c, k: select(a, b, c),
-            one(jf.to_mont), one(jf.from_mont),
-        ]
+        table = {
+            "add": lambda a, b, c, k: jf.add(a, b),
+            "sub": lambda a, b, c, k: jf.sub(a, b),
+            "mul": lambda a, b, c, k: jf.mont_mul(a, b),
+            "div": lambda a, b, c, k: jf.div_mont(a, b),
+            "neg": lambda a, b, c, k: jf.neg(a),
+            "lt": lambda a, b, c, k: jf.lt(a, b),
+            "le": lambda a, b, c, k: jf.le(a, b),
+            "gt": lambda a, b, c, k: jf.gt(a, b),
+            "ge": lambda a, b, c, k: jf.ge(a, b),
+            "eq": lambda a, b, c, k: jf.eq(a, b),
+            "neq": lambda a, b, c, k: jf.neq(a, b),
+            "land": lambda a, b, c, k: jf.bool_and(a, b),
+            "lor": lambda a, b, c, k: jf.bool_or(a, b),
+            "lnot": lambda a, b, c, k: jf.bool_not(a),
+            "band": lambda a, b, c, k: jf.bit_and(a, b),
+            "bor": lambda a, b, c, k: jf.bit_or(a, b),
+            "bxor": lambda a, b, c, k: jf.bit_xor(a, b),
+            "bnot": lambda a, b, c, k: jf.complement(a),
+            "shl_k": lambda a, b, c, k: shl_dyn(a, k),
+            "shr_k": lambda a, b, c, k: shr_dyn(a, k),
+            "pow_k": lambda a, b, c, k: pow_dyn(a, k),
+            "select": lambda a, b, c, k: jf.select_bool(jf.as_bool(a), b, c),
+            "to_mont": lambda a, b, c, k: jf.to_mont(a),
+            "from_mont": lambda a, b, c, k: jf.from_mont(a),
+        }
+        return table[opname]
 
     # -- program ---------------------------------------------------------
-    def _run(self, inputs):
-        """inputs: uint32 (n_inputs, batch, L) -> (n_outputs, batch, L)."""
+    def _init_regfile(self, inputs):
         jf = self.jf
         batch = inputs.shape[1]
         L = jf.L
-        rf = jnp.zeros((self.n_regs, batch, L), jnp.uint32)
         from ..ops.limbs import int_to_limbs
 
         R = 1 << (LIMB_BITS * L)
+        rf = np.zeros((self.n_regs, 1, L), np.uint32)
         for (reg, value, domain) in self.const_loads:
             v = value if domain != MONT else (value * R) % jf.p
-            limbs = jnp.asarray(int_to_limbs(v, L))
-            rf = rf.at[reg].set(jnp.broadcast_to(limbs, (batch, L)))
-        for (reg, idx) in self.input_loads:
-            rf = rf.at[reg].set(inputs[idx])
-        branches = self._branches()
-        if self.unroll:
-            # direct emission; static imms allow specialised shifts
-            vals = {}
-            for (op, a, b, c, out, imm) in self.steps:
-                fa, fb, fc = rf[a], rf[b], rf[c]
-                fa = vals.get(a, fa)
-                fb = vals.get(b, fb)
-                fc = vals.get(c, fc)
-                res = branches[op](fa, fb, fc, jnp.uint32(imm))
-                vals[out] = res
-            outs = []
-            for r in self.out_regs:
-                outs.append(vals.get(int(r), rf[int(r)]))
-            return jnp.stack(outs, axis=0)
+            rf[reg, 0] = int_to_limbs(v, L)
+        rf = jnp.broadcast_to(jnp.asarray(rf), (self.n_regs, batch, L))
+        if self.input_loads:
+            regs = jnp.asarray([r for (r, _) in self.input_loads])
+            idxs = jnp.asarray([i for (_, i) in self.input_loads])
+            rf = rf.at[regs].set(inputs[idxs])
+        return rf
 
-        steps = jnp.asarray(self.steps)
+    def _run(self, inputs):
+        """inputs: uint32 (n_inputs, batch, L) -> (n_outputs, batch, L)."""
+        rf = self._init_regfile(inputs)
+        opc, a_i, b_i, c_i, o_i, imm = self.tables
+        branches = [self._branch(op) for op in self.branch_ops]
+        if self.unroll:
+            for si in range(self.n_steps):
+                fa, fb, fc = rf[a_i[si]], rf[b_i[si]], rf[c_i[si]]
+                res = branches[int(opc[si])](fa, fb, fc,
+                                             jnp.asarray(imm[si], jnp.uint32))
+                rf = rf.at[o_i[si]].set(res)
+            return rf[self.out_regs]
+
+        tables = tuple(jnp.asarray(t) for t in self.tables)
 
         def body(rfc, instr):
-            op, a, b, c, out, imm = (instr[0], instr[1], instr[2],
-                                     instr[3], instr[4], instr[5])
-            fa = rfc[a]
-            fb = rfc[b]
-            fc = rfc[c]
+            op, ai, bi, ci, oi, k = instr
+            fa = rfc[ai]
+            fb = rfc[bi]
+            fc = rfc[ci]
             res = lax.switch(op, branches, fa, fb, fc,
-                             imm.astype(jnp.uint32))
-            rfc = lax.dynamic_update_index_in_dim(rfc, res, out, 0)
+                             k.astype(jnp.uint32))
+            rfc = rfc.at[oi].set(res)
             return rfc, None
 
-        rf, _ = lax.scan(body, rf, steps)
+        rf, _ = lax.scan(body, rf, tables)
         return rf[self.out_regs]
 
     def run(self, inputs):

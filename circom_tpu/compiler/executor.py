@@ -567,14 +567,21 @@ class Executor:
         elif isinstance(s, A.AnonymousCompStmt):
             raise err("anonymous components not yet desugared", "T2050", m)
         elif isinstance(s, A.UnderscoreSubstitution):
-            v = self._eval(s.rhe, frame)
-            self._record_underscore(v, frame)
+            parts = (s.rhe.values if isinstance(s.rhe, A.TupleExpr)
+                     else [s.rhe])
+            for part in parts:
+                v = self._eval(part, frame)
+                self._record_underscore(v, frame)
         else:
             raise err(f"unsupported statement {type(s).__name__}", "T2051", m)
 
     def _exec_declaration(self, s: A.Declaration, frame):
-        dims = [self._index_value(self._eval(d, frame), d) for d in s.dimensions]
         kind = s.xtype.kind
+        if kind == "anonymous_component":
+            dims = []  # loop-counter dimension: sized on use
+        else:
+            dims = [self._index_value(self._eval(d, frame), d)
+                    for d in s.dimensions]
         if kind == "var":
             frame.declare_var(s.name, Slice.filled(dims, None))
             return
@@ -599,6 +606,14 @@ class Executor:
             if frame.builder is not None:
                 frame.builder.components.append((s.name, tuple(dims)))
             return
+        if kind == "anonymous_component":
+            # dimension is the loop counter; sized dynamically
+            from .values import DynamicComponentSlice
+
+            frame.components[s.name] = DynamicComponentSlice()
+            if frame.builder is not None:
+                frame.builder.components.append((s.name, ()))
+            return
         raise err(f"unsupported declaration kind '{kind}'", "T2052", s.meta)
 
     def _install_input_values(self, s, decl, frame):
@@ -619,8 +634,11 @@ class Executor:
     # -- assignment ------------------------------------------------------
     def _exec_substitution(self, s: A.Substitution, frame):
         if s.var == "_":
-            v = self._eval(s.rhe, frame)
-            self._record_underscore(v, frame)
+            parts = (s.rhe.values if isinstance(s.rhe, A.TupleExpr)
+                     else [s.rhe])
+            for part in parts:
+                v = self._eval(part, frame)
+                self._record_underscore(v, frame)
             return
         target = self._resolve_symbol(s.var, frame, s.meta)
         if target[0] == "var":

@@ -152,6 +152,32 @@ class SignalDecl:
         return sum(1 for a in self.assigned.values if not a)
 
 
+class DynamicComponentSlice:
+    """Growable component store for anonymous components declared inside
+    loops (VariableType::AnonymousComponent): sized by use, not by a
+    declared dimension."""
+
+    __slots__ = ("_store",)
+
+    def __init__(self):
+        self._store = {}
+
+    @property
+    def values(self):
+        return list(self._store.values())
+
+    @property
+    def dims(self):
+        return ("dyn",)
+
+    def get(self, idxs, meta=None):
+        return self._store.get(tuple(idxs))
+
+    def set(self, idxs, value, meta=None):
+        self._store[tuple(idxs)] = value
+        return self
+
+
 class ComponentState:
     """A subcomponent instance during execution."""
 

@@ -160,4 +160,12 @@ def run_parser(path: str, field_p: int, prime: str, link_libraries=(),
         prime=prime,
         field_p=field_p,
     )
+    # desugar anonymous components and tuples (reference:
+    # parser/src/lib.rs calls apply_syntactic_sugar after archive build)
+    from .sugar import apply_syntactic_sugar
+
+    try:
+        apply_syntactic_sugar(archive)
+    except Report as r:
+        raise ReportCollection([r])
     return archive, warnings
