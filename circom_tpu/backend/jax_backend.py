@@ -361,15 +361,24 @@ class WitnessProgram:
             return rf[self.out_regs]
 
         tables = tuple(jnp.asarray(t) for t in self.tables)
+        S = self.slots
 
         def body(rfc, instr):
             op, ai, bi, ci, oi, k = instr
-            fa = rfc[ai]
-            fb = rfc[bi]
-            fc = rfc[ci]
+            # scalar-index dynamic slices/updates: XLA keeps the register
+            # file in place inside the loop (a vector gather/scatter would
+            # force a full regfile copy per step — HBM-bandwidth death).
+            def pick(idx):
+                return jnp.stack([
+                    lax.dynamic_index_in_dim(rfc, idx[j], 0, keepdims=False)
+                    for j in range(S)
+                ])
+
+            fa, fb, fc = pick(ai), pick(bi), pick(ci)
             res = lax.switch(op, branches, fa, fb, fc,
                              k.astype(jnp.uint32))
-            rfc = rfc.at[oi].set(res)
+            for j in range(S):
+                rfc = lax.dynamic_update_index_in_dim(rfc, res[j], oi[j], 0)
             return rfc, None
 
         rf, _ = lax.scan(body, rf, tables)

@@ -26,14 +26,27 @@ from ..utils.reports import Report
 from . import algebra as alg
 from .algebra import AExpr, NQ, NonQuadratic
 from .dag import DAG
-from .values import (ComponentState, ExecError, SignalDecl, Slice,
-                     TemplateClosure, err, indexed_names)
+from .values import (BusClosure, BusLayout, ComponentState, ExecError,
+                     SignalDecl, Slice, TemplateClosure, err, indexed_names)
 from ..backend.tape import Tape, TapeRef
 
 
 class FunctionReturn(Exception):
     def __init__(self, value):
         self.value = value
+
+
+class PendingBus:
+    """Bus wire declared, awaiting its BusCall substitution for the layout
+    (parser splits `Point p;` into Declaration + `p = Point()`)."""
+
+    __slots__ = ("name", "dims", "xtype", "tags")
+
+    def __init__(self, name, dims, xtype, tags):
+        self.name = name
+        self.dims = dims
+        self.xtype = xtype
+        self.tags = tags
 
 
 # ---------------------------------------------------------------------------
@@ -346,6 +359,7 @@ class Executor:
         self.sanity_check = sanity_check
         self.log_sink = log_sink if log_sink is not None else []
         self.instances_by_path = {}    # witness modes: path -> ComponentState
+        self.bus_memo = {}             # (bus, params) -> BusLayout
         self.warnings = []
 
     # -- entry points ---------------------------------------------------
@@ -463,7 +477,7 @@ class Executor:
         wires = b.wire_order
 
         def _add(w, adder):
-            for j, n in enumerate(indexed_names(w.name, w.dims)):
+            for j, n in enumerate(w.elem_names):
                 sid = adder(n)
                 node.id_to_elem[sid] = (w.name, j)
 
@@ -480,7 +494,8 @@ class Executor:
             if w.xtype == A.SignalType.INTERMEDIATE:
                 _add(w, node.add_intermediate)
         node.wire_info = [
-            (w.name, w.dims, w.xtype, dict(w.tag_values)) for w in wires
+            (w.name, w.dims, w.xtype, dict(w.tag_values), w.layout)
+            for w in wires
         ]
         node.tag_exports = b.tag_exports
         # connexions sorted by (name, indices) (executed_template.rs:313-320)
@@ -599,7 +614,11 @@ class Executor:
                 frame.instance is not None
                 and s.xtype.signal_type == A.SignalType.INPUT
             ):
-                self._install_input_values(s, decl, frame)
+                self._install_input_values(s.name, decl, frame, s.meta)
+            return
+        if kind == "bus":
+            frame.signals[s.name] = PendingBus(
+                s.name, tuple(dims), s.xtype.signal_type, s.xtype.tags)
             return
         if kind == "component":
             frame.components[s.name] = Slice.filled(dims, None)
@@ -616,20 +635,23 @@ class Executor:
             return
         raise err(f"unsupported declaration kind '{kind}'", "T2052", s.meta)
 
-    def _install_input_values(self, s, decl, frame):
-        """Witness modes: input signals get their values at declaration."""
+    def _install_input_values(self, s_name, decl, frame, meta=None):
+        """Witness modes: input wires get their values at declaration.
+        Stored flat (leaf order); nested input lists are flattened."""
         preset = frame.preset_inputs or {}
-        if s.name not in preset:
-            raise err(f"missing value for input signal '{s.name}'",
-                      "T2044", s.meta)
-        src = preset[s.name]
-        if tuple(src.dims) != tuple(decl.dims):
+        if s_name not in preset:
+            raise err(f"missing value for input signal '{s_name}'",
+                      "T2044", meta)
+        src = preset[s_name]
+        vals = list(src.values) if isinstance(src, Slice) else [src]
+        if len(vals) != decl.total_size():
             raise err(
-                f"input '{s.name}' dimension mismatch: expected "
-                f"{decl.dims}, got {src.dims}", "T2044", s.meta,
+                f"input '{s_name}' size mismatch: expected "
+                f"{decl.total_size()} elements, got {len(vals)}",
+                "T2044", meta,
             )
-        decl.slice = src.copy()
-        decl.assigned = Slice.filled(decl.dims, True)
+        decl.slice = Slice((len(vals),), vals)
+        decl.assigned = Slice((len(vals),), [True] * len(vals))
 
     # -- assignment ------------------------------------------------------
     def _exec_substitution(self, s: A.Substitution, frame):
@@ -643,6 +665,22 @@ class Executor:
         target = self._resolve_symbol(s.var, frame, s.meta)
         if target[0] == "var":
             self._assign_var(s, frame)
+        elif target[0] == "signal" and isinstance(target[1], PendingBus):
+            if s.access or s.op != A.AssignOp.VAR:
+                raise err(f"bus '{s.var}' used before its type is set",
+                          "T2037", s.meta)
+            v = self._eval(s.rhe, frame)
+            if isinstance(v, BusClosure):
+                self._complete_bus_decl(target[1], v, frame, s.meta)
+            elif isinstance(v, Slice) and all(
+                isinstance(x, BusClosure) for x in v.values
+            ):
+                # UniformArray of bus calls from declaration splitting
+                self._complete_bus_decl(target[1], v.values[0], frame,
+                                        s.meta)
+            else:
+                raise err("bus must be initialized with a bus call",
+                          "T2037", s.meta)
         elif target[0] == "signal":
             self._assign_signal(s, target[1], frame)
         elif target[0] == "component":
@@ -660,27 +698,148 @@ class Executor:
             return ("var", v)
         raise err(f"undeclared symbol '{name}'", "T2004", meta)
 
-    def _split_access(self, access, frame, meta):
-        """[ArrayAccess*] [ComponentAccess [ArrayAccess*]] -> parts."""
-        idxs0, comp, idxs1, tag = [], None, [], None
-        i = 0
-        while i < len(access) and isinstance(access[i], A.ArrayAccess):
-            idxs0.append(self._index_value(
-                self._eval(access[i].expr, frame), meta))
-            i += 1
-        if i < len(access) and isinstance(access[i], A.ComponentAccess):
-            comp = access[i].name
-            i += 1
+    def _bus_layout(self, name, params, meta):
+        """Execute a bus body's declarations -> BusLayout (memoized by
+        (bus, params), like ExecutedBus instances)."""
+        def freeze(v):
+            if isinstance(v, Slice):
+                return (v.dims, tuple(freeze(x) for x in v.values))
+            return v
+
+        key = (name, tuple(freeze(x) for x in params))
+        hit = self.bus_memo.get(key)
+        if hit is not None:
+            return hit
+        bus = self.archive.buses.get(name)
+        if bus is None:
+            raise err(f"unknown bus '{name}'", "T2007", meta)
+        if len(params) != len(bus.args):
+            raise err(
+                f"bus {name} expects {len(bus.args)} parameters, got "
+                f"{len(params)}", "T2005", meta,
+            )
+        frame = Frame("function", name)
+        for argname, value in zip(bus.args, params):
+            frame.declare_var(argname, _as_slice(self._to_domain(value)))
+        fields = []
+        pending = {}
+
+        def walk(st):
+            if isinstance(st, A.Block):
+                for x in st.stmts:
+                    walk(x)
+            elif isinstance(st, A.InitializationBlock):
+                for x in st.initializations:
+                    walk(x)
+            elif isinstance(st, A.Declaration):
+                dims = [self._index_value(self._eval(d, frame), st.meta)
+                        for d in st.dimensions]
+                if st.xtype.kind == "signal":
+                    fields.append((st.name, tuple(dims), None))
+                elif st.xtype.kind == "bus":
+                    pending[st.name] = tuple(dims)
+                elif st.xtype.kind == "var":
+                    frame.declare_var(st.name, Slice.filled(dims, None))
+                else:
+                    raise err("buses may only declare signals and buses",
+                              "T2037", st.meta)
+            elif isinstance(st, A.Substitution):
+                v = self._eval(st.rhe, frame)
+                if isinstance(v, BusClosure) and st.var in pending:
+                    sub = self._bus_layout(v.name, v.params, st.meta)
+                    fields.append((st.var, pending.pop(st.var), sub))
+                elif st.var in pending:
+                    raise err("bus field must be a bus call", "T2037",
+                              st.meta)
+                else:
+                    slc = frame.lookup_var(st.var)
+                    if slc is None:
+                        raise err("buses may only declare signals and "
+                                  "buses", "T2037", st.meta)
+                    slc.set([], v, st.meta)
+            elif isinstance(st, (A.While, A.IfThenElse)):
+                raise err("control flow not supported in bus bodies",
+                          "T2037", st.meta)
+
+        walk(bus.body)
+        layout = BusLayout(name, key[1], fields)
+        self.bus_memo[key] = layout
+        return layout
+
+    def _complete_bus_decl(self, pending: "PendingBus", closure: BusClosure,
+                           frame, meta):
+        layout = self._bus_layout(closure.name, closure.params, meta)
+        decl = SignalDecl(pending.name, pending.dims, pending.xtype,
+                          pending.tags, layout)
+        frame.signals[pending.name] = decl
+        if frame.builder is not None:
+            frame.builder.wire_order.append(decl)
+        if (frame.instance is not None
+                and pending.xtype == A.SignalType.INPUT):
+            self._install_input_values(pending.name, decl, frame, meta)
+        return decl
+
+    def _resolve_wire(self, decl: SignalDecl, access, frame, meta,
+                      start_i=0):
+        """Resolve an access path on a (possibly bus) wire.
+
+        Returns ('tag', tag_name) or ('range', start, count).
+        """
+        i = start_i
+        layout = decl.layout
+        dims = list(decl.dims)
+        unit = layout.size if layout is not None else 1
+        start = 0
+        while True:
+            idxs = []
             while i < len(access) and isinstance(access[i], A.ArrayAccess):
-                idxs1.append(self._index_value(
+                idxs.append(self._index_value(
                     self._eval(access[i].expr, frame), meta))
                 i += 1
-        if i < len(access) and isinstance(access[i], A.ComponentAccess):
-            tag = access[i].name
-            i += 1
+            if len(idxs) > len(dims):
+                raise err("too many array indices", "T2018", meta)
+            for k, ix in enumerate(idxs):
+                if not (0 <= ix < dims[k]):
+                    raise err(
+                        f"index {ix} out of bounds (size {dims[k]})",
+                        "T2021", meta,
+                    )
+            stride = unit
+            for d in dims[len(idxs):]:
+                stride *= d
+            # row-major offset of the partial index
+            for k in range(len(idxs) - 1, -1, -1):
+                start += idxs[k] * stride
+                stride *= dims[k]
+            dims = dims[len(idxs):]
+            if i < len(access) and isinstance(access[i], A.ComponentAccess):
+                fname = access[i].name
+                if layout is not None and layout.field(fname) is not None:
+                    if dims:
+                        raise err(
+                            "bus array must be fully indexed before field "
+                            "access", "T2018", meta,
+                        )
+                    off, _n, fdims, fsub = layout.field(fname)
+                    start += off
+                    dims = list(fdims)
+                    layout = fsub
+                    unit = fsub.size if fsub is not None else 1
+                    i += 1
+                    continue
+                if fname in decl.tag_values and i == len(access) - 1:
+                    return ("tag", fname)
+                raise err(
+                    f"'{fname}' is not a field or tag of '{decl.name}'",
+                    "T2034", meta,
+                )
+            break
         if i != len(access):
             raise err("unsupported access pattern", "T2033", meta)
-        return idxs0, comp, idxs1, tag
+        count = unit
+        for d in dims:
+            count *= d
+        return ("range", start, count)
 
     def _assign_var(self, s, frame):
         slc = frame.lookup_var(s.var)
@@ -693,11 +852,11 @@ class Executor:
         slc.set(idxs, value, s.meta)
 
     def _assign_signal(self, s, decl: SignalDecl, frame):
-        idxs0, comp, idxs1, _tag = self._split_access(s.access, frame, s.meta)
-        if comp is not None:
-            # tag assignment: sig.tag = value
-            self._assign_tag(s, decl, comp, frame)
+        res = self._resolve_wire(decl, s.access, frame, s.meta)
+        if res[0] == "tag":
+            self._assign_tag(s, decl, res[1], frame)
             return
+        _kind, start, count = res
         if frame.unknown_depth:
             raise err("signal assignment inside unknown condition",
                       "T2041", s.meta)
@@ -705,8 +864,8 @@ class Executor:
             raise err("signals must be assigned with <== or <--",
                       "T2031", s.meta)
         value = self._eval(s.rhe, frame)
-        self._store_signal_elements(decl, idxs0, value, s.op, frame, s.meta,
-                                    prefix="")
+        self._store_signal_elements(decl, start, count, value, s.op, frame,
+                                    s.meta, prefix="")
 
     def _assign_tag(self, s, decl, tag, frame):
         if tag not in decl.tag_values:
@@ -722,38 +881,35 @@ class Executor:
         if frame.builder is not None:
             frame.builder.tag_exports.setdefault(decl.name, {})[tag] = k
 
-    def _store_signal_elements(self, decl, idxs, value, op, frame, meta,
-                               prefix, component=None):
-        """Assign one element or a whole subarray of a signal; emits
-        constraints for <== in constrain mode."""
-        off, rest = decl.slice.route_offset(idxs, meta)
-        names = indexed_names(decl.name, decl.dims)
-        count = _size_of(rest)
+    def _store_signal_elements(self, decl, start, count, value, op, frame,
+                               meta, prefix):
+        """Assign a flat leaf range of a wire; emits constraints for <==
+        in constrain mode."""
+        names = decl.elem_names
         if isinstance(value, Slice):
-            if tuple(value.dims) != tuple(rest):
-                raise err(
-                    f"dimension mismatch assigning '{decl.name}': "
-                    f"{value.dims} vs {rest}", "T2019", meta,
-                )
             vals = value.values
+            if len(vals) != count:
+                raise err(
+                    f"size mismatch assigning '{decl.name}': "
+                    f"{len(vals)} values into {count} elements",
+                    "T2019", meta,
+                )
         else:
-            if rest:
+            if count != 1:
                 raise err("assigning scalar to signal array", "T2019", meta)
             vals = [value]
         for j in range(count):
-            if decl.assigned.values[off + j]:
+            if decl.assigned.values[start + j]:
                 raise err(
-                    f"signal '{names[off + j]}' already assigned",
+                    f"signal '{names[start + j]}' already assigned",
                     "T2012", meta,
                 )
-            decl.assigned.values[off + j] = True
-            decl.slice.values[off + j] = vals[j]
+            decl.assigned.values[start + j] = True
+            decl.slice.values[start + j] = vals[j]
             if self.mode == "constrain" and op == A.AssignOp.CONSTRAINT:
-                qname = prefix + names[off + j]
+                qname = prefix + names[start + j]
                 expr = alg.sub(vals[j], AExpr.signal(qname), self.hf)
                 self._emit_constraint(expr, frame, meta)
-            elif self.mode == "hostwit" and op == A.AssignOp.CONSTRAINT:
-                pass  # definitionally satisfied
         return count
 
     def _emit_constraint(self, expr, frame, meta):
@@ -770,8 +926,23 @@ class Executor:
         frame.builder.constraints.append(c)
 
     # -- component assignment -------------------------------------------
+    def _component_access_split(self, access, frame, meta):
+        """Leading ArrayAccess* (component array index) + ComponentAccess
+        (signal name) + rest."""
+        idxs0 = []
+        i = 0
+        while i < len(access) and isinstance(access[i], A.ArrayAccess):
+            idxs0.append(self._index_value(
+                self._eval(access[i].expr, frame), meta))
+            i += 1
+        sig = None
+        if i < len(access) and isinstance(access[i], A.ComponentAccess):
+            sig = access[i].name
+            i += 1
+        return idxs0, sig, access[i:]
+
     def _assign_component(self, s, cslice, frame):
-        idxs0, comp_sig, idxs1, _tag = self._split_access(
+        idxs0, comp_sig, rest = self._component_access_split(
             s.access, frame, s.meta)
         if comp_sig is None:
             # instantiate: c[idxs] = Template(args)
@@ -799,7 +970,7 @@ class Executor:
             raise err("signal assignment inside unknown condition",
                       "T2041", s.meta)
         value = self._eval(s.rhe, frame)
-        self._assign_component_input(cs, comp_sig, idxs1, value, s.op,
+        self._assign_component_input(cs, comp_sig, rest, value, s.op,
                                      frame, s.meta)
 
     def _instantiate(self, cname, idxs, closure, cslice, frame, meta):
@@ -848,18 +1019,18 @@ class Executor:
     def _bind_component_io(self, cs: ComponentState, node_id):
         node = self.dag.nodes[node_id]
         total_inputs = 0
-        for (name, dims, xtype, tagvals) in node.wire_info:
-            decl = SignalDecl(name, dims, xtype, list(tagvals))
+        for (name, dims, xtype, tagvals, layout) in node.wire_info:
+            decl = SignalDecl(name, dims, xtype, list(tagvals), layout)
             decl.tag_values = dict(tagvals)
             if xtype == A.SignalType.INPUT:
-                total_inputs += decl.slice.size()
+                total_inputs += decl.total_size()
                 cs.signals[name] = decl
             elif xtype == A.SignalType.OUTPUT:
                 cs.signals[name] = decl
         cs.inputs_remaining = total_inputs
 
-    def _assign_component_input(self, cs, sig_name, idxs, value, op, frame,
-                                meta):
+    def _assign_component_input(self, cs, sig_name, rest_access, value, op,
+                                frame, meta):
         decl = cs.signals.get(sig_name)
         if decl is None or decl.xtype != A.SignalType.INPUT:
             raise err(
@@ -867,10 +1038,13 @@ class Executor:
                 "T2016", meta,
             )
         prefix = cs.label + "."
-        names = indexed_names(decl.name, decl.dims)
-        off, rest = decl.slice.route_offset(idxs, meta)
+        res = self._resolve_wire(decl, rest_access, frame, meta)
+        if res[0] == "tag":
+            raise err("input tag assignment through components is not "
+                      "supported yet", "T2035", meta)
+        _k, start, count = res
         count = self._store_signal_elements(
-            decl, idxs, value, op, frame, meta, prefix=prefix)
+            decl, start, count, value, op, frame, meta, prefix=prefix)
         cs.inputs_remaining -= count
         if cs.inputs_remaining == 0:
             if self.mode == "constrain":
@@ -1027,6 +1201,10 @@ class Executor:
             return self.domain.select(cond, a, b)
         if isinstance(e, A.Call):
             return self._eval_call(e, frame)
+        if isinstance(e, A.BusCall):
+            params = [self._eval(a, frame) for a in e.args]
+            known = [self._expect_known_arg(p) for p in params]
+            return BusClosure(e.id, known)
         if isinstance(e, A.ArrayInLine):
             vals = [self._eval(v, frame) for v in e.values]
             return _stack_slices(vals, e.meta)
@@ -1091,37 +1269,37 @@ class Executor:
             raise err(f"'{name}' used as a value", "T2030", e.meta)
         raise err(f"undeclared symbol '{name}'", "T2004", e.meta)
 
-    def _read_signal(self, decl: SignalDecl, e, frame, prefix):
-        idxs0, comp, idxs1, _ = self._split_access(e.access, frame, e.meta)
-        if comp is not None:
-            # tag read: sig.tag
-            if comp not in decl.tag_values:
-                raise err(f"signal has no tag '{comp}'", "T2034", e.meta)
-            tv = decl.tag_values[comp]
+    def _read_signal(self, decl, e, frame, prefix, access=None,
+                     start_i=0):
+        if isinstance(decl, PendingBus):
+            raise err(f"bus '{decl.name}' used before initialization",
+                      "T2037", e.meta)
+        access = e.access if access is None else access
+        res = self._resolve_wire(decl, access, frame, e.meta, start_i)
+        if res[0] == "tag":
+            tv = decl.tag_values[res[1]]
             if tv is None:
-                raise err(f"tag '{comp}' has no value", "T2035", e.meta)
+                raise err(f"tag '{res[1]}' has no value", "T2035", e.meta)
             return self.domain.const(tv)
+        _k, start, count = res
         if self.mode == "constrain":
-            off, rest = decl.slice.route_offset(idxs0, e.meta)
-            names = indexed_names(decl.name, decl.dims)
-            if not rest:
-                return AExpr.signal(prefix + names[off])
-            vals = [
-                AExpr.signal(prefix + names[off + j])
-                for j in range(_size_of(rest))
-            ]
-            return Slice(rest, vals)
-        got = decl.slice.get(idxs0, e.meta)
-        vals = got.values if isinstance(got, Slice) else [got]
+            names = decl.elem_names
+            if count == 1:
+                return AExpr.signal(prefix + names[start])
+            return Slice((count,), [
+                AExpr.signal(prefix + names[start + j]) for j in range(count)
+            ])
+        vals = decl.slice.values[start:start + count]
         if any(x is None for x in vals):
             raise err(
                 f"signal '{decl.name}' read before assignment",
                 "T2005", e.meta,
             )
-        return got
+        return vals[0] if count == 1 else Slice((count,), list(vals))
 
     def _read_component(self, e: A.Variable, frame):
-        idxs0, sig, idxs1, tag = self._split_access(e.access, frame, e.meta)
+        idxs0, sig, rest = self._component_access_split(
+            e.access, frame, e.meta)
         cslice = frame.components[e.name]
         cs = cslice.get(idxs0, e.meta)
         if isinstance(cs, Slice):
@@ -1136,11 +1314,6 @@ class Executor:
         if decl is None:
             raise err(f"'{sig}' is not a signal of template {cs.template}",
                       "T2016", e.meta)
-        if tag is not None:
-            tv = decl.tag_values.get(tag)
-            if tv is None:
-                raise err(f"tag '{tag}' has no value", "T2035", e.meta)
-            return self.domain.const(tv)
         if decl.xtype == A.SignalType.OUTPUT and cs.inputs_remaining > 0:
             raise err(
                 f"output '{sig}' of '{e.name}' read before all inputs are "
@@ -1148,21 +1321,8 @@ class Executor:
             )
         if decl.xtype == A.SignalType.INPUT and self.mode == "constrain":
             raise err("subcomponent inputs cannot be read", "T2047", e.meta)
-        if self.mode == "constrain":
-            off, rest = decl.slice.route_offset(idxs1, e.meta)
-            names = indexed_names(decl.name, decl.dims)
-            prefix = cs.label + "."
-            if not rest:
-                return AExpr.signal(prefix + names[off])
-            return Slice(rest, [
-                AExpr.signal(prefix + names[off + j])
-                for j in range(_size_of(rest))
-            ])
-        got = decl.slice.get(idxs1, e.meta)
-        vals = got.values if isinstance(got, Slice) else [got]
-        if any(x is None for x in vals):
-            raise err(f"output '{sig}' read before computed", "T2005", e.meta)
-        return got
+        return self._read_signal(decl, e, frame, prefix=cs.label + ".",
+                                 access=rest)
 
     def _eval_call(self, e: A.Call, frame):
         if e.id in self.archive.functions:

@@ -129,13 +129,15 @@ class CompiledCircuit:
         idx = 0
         from .values import Slice
 
-        for (name, dims, xtype, _tags) in main_node.wire_info:
+        for (name, dims, xtype, _tags, layout) in main_node.wire_info:
             if xtype == A.SignalType.INPUT:
                 n = 1
                 for d in dims:
                     n *= d
+                if layout is not None:
+                    n *= layout.size
                 refs = [tape.input(idx + j) for j in range(n)]
-                inputs[name] = Slice(dims, refs)
+                inputs[name] = Slice((n,), refs)
                 idx += n
         ex = Executor(self.archive, "tape", tape=tape, dag=self.dag,
                       memo=self.memo)
@@ -151,11 +153,13 @@ class CompiledCircuit:
         main_node = self.dag.nodes[self.main_node_id]
         out = []
         off = 0
-        for (name, dims, xtype, _tags) in main_node.wire_info:
+        for (name, dims, xtype, _tags, layout) in main_node.wire_info:
             if xtype == A.SignalType.INPUT:
                 n = 1
                 for d in dims:
                     n *= d
+                if layout is not None:
+                    n *= layout.size
                 out.append((name, tuple(dims), off))
                 off += n
         return out

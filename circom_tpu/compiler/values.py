@@ -133,20 +133,91 @@ class TemplateClosure:
         self.is_parallel = is_parallel
 
 
+class BusLayout:
+    """Field layout of one bus instance (ExecutedBus / BusInstance analog,
+    compiler/src/hir/very_concrete_program.rs:139-144).
+
+    fields: list of (name, dims, sub_layout_or_None) in declaration order.
+    """
+
+    __slots__ = ("bus_name", "params_key", "fields", "size", "_offsets")
+
+    def __init__(self, bus_name, params_key, fields):
+        self.bus_name = bus_name
+        self.params_key = params_key
+        self.fields = fields
+        self._offsets = {}
+        off = 0
+        for (name, dims, sub) in fields:
+            n = 1
+            for d in dims:
+                n *= d
+            n *= sub.size if sub is not None else 1
+            self._offsets[name] = (off, n)
+            off += n
+        self.size = off
+
+    def field(self, name):
+        for (fname, dims, sub) in self.fields:
+            if fname == name:
+                off, n = self._offsets[name]
+                return off, n, dims, sub
+        return None
+
+    def leaf_suffixes(self):
+        """Flat element suffixes (".x", ".v[0].y", ...) in layout order."""
+        out = []
+        for (fname, dims, sub) in self.fields:
+            for iname in indexed_names(fname, dims):
+                if sub is None:
+                    out.append("." + iname)
+                else:
+                    out.extend("." + iname + s for s in sub.leaf_suffixes())
+        return out
+
+    def key(self):
+        return (self.bus_name, self.params_key)
+
+
+class BusClosure:
+    """Result of evaluating `BusName(params)` before wire binding."""
+
+    __slots__ = ("name", "params")
+
+    def __init__(self, name, params):
+        self.name = name
+        self.params = params
+
+
 class SignalDecl:
-    """Per-signal metadata within an instance."""
+    """Per-wire metadata within an instance (signal or bus wire)."""
 
     __slots__ = ("name", "dims", "xtype", "tags", "tag_values", "slice",
-                 "assigned")
+                 "assigned", "layout", "elem_names")
 
-    def __init__(self, name, dims, xtype, tags):
+    def __init__(self, name, dims, xtype, tags, layout=None):
         self.name = name
         self.dims = tuple(dims)
         self.xtype = xtype              # SignalType
         self.tags = list(tags)
         self.tag_values = {t: None for t in tags}
-        self.slice = Slice.filled(dims, None)   # element values (mode-specific)
-        self.assigned = Slice.filled(dims, False)
+        self.layout = layout            # BusLayout | None
+        per = layout.size if layout is not None else 1
+        n = per
+        for d in dims:
+            n *= d
+        self.slice = Slice((n,), [None] * n)   # flat leaf values
+        self.assigned = Slice((n,), [False] * n)
+        if layout is None:
+            self.elem_names = indexed_names(name, dims)
+        else:
+            suf = layout.leaf_suffixes()
+            self.elem_names = [
+                base + s for base in indexed_names(name, dims) for s in suf
+            ]
+
+    def total_size(self):
+        return len(self.slice.values)
 
     def unassigned_count(self):
         return sum(1 for a in self.assigned.values if not a)
