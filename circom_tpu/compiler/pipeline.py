@@ -207,4 +207,4 @@ def compile_source(source: str, prime: str = "bn128", tmpdir=None,
     p = os.path.join(d, "main.circom")
     with open(p, "w") as f:
         f.write(source)
-    return compile_circuit(p, **kw)
+    return compile_circuit(p, prime=prime, **kw)
