@@ -192,6 +192,9 @@ def compile_circuit(path: str, prime: str = "bn128", link_libraries=(),
     spec = field_spec(prime)
     archive, warnings = run_parser(
         path, spec.p, prime, link_libraries, no_init)
+    from ..analysis.checks import analyse_program
+
+    analyse_program(archive)
     ex = Executor(archive, "constrain")
     main_node_id = ex.run_constrain()
     return CompiledCircuit(archive, ex.dag, ex.memo, main_node_id,
