@@ -186,6 +186,13 @@ class WitnessProgram:
         for si, (_op, nodes) in enumerate(steps_nodes):
             for i in nodes:
                 pos[i] = si
+        # witness positions per node: step-produced nodes stream their
+        # value into the output buffer at their own step, so being an
+        # output does NOT extend register liveness.
+        out_pos = {}
+        for w_idx, o in enumerate(dt.outputs):
+            out_pos.setdefault(o, []).append(w_idx)
+        self.n_witness = len(dt.outputs)
         # liveness over step positions
         last_use = [pos[i] for i in range(n)]
         for i in range(n):
@@ -193,7 +200,8 @@ class WitnessProgram:
                 last_use[a] = max(last_use[a], pos[i])
         INF = len(steps_nodes) + 1
         for o in dt.outputs:
-            last_use[o] = INF
+            if dt.ops[o] in ("const", "input"):
+                last_use[o] = INF  # loads: copied to the out buffer at init
         reg_of = [None] * n
         free = []
         next_reg = 0
@@ -232,7 +240,15 @@ class WitnessProgram:
         b_i = np.zeros((n_steps, S), np.int32)
         c_i = np.zeros((n_steps, S), np.int32)
         o_i = np.full((n_steps, S), trash, np.int32)
+        # witness stream: destination row in the output buffer per slot
+        # (n_witness = trash row)
+        w_i = np.full((n_steps, S), self.n_witness, np.int32)
         imm = np.zeros((n_steps, S), np.int64)
+        out_dups = []   # (src_witness_pos, dst_witness_pos) extra copies
+        load_outputs = []  # (reg, [witness positions]) for const/input outs
+        for i in range(n):
+            if dt.ops[i] in ("const", "input") and i in out_pos:
+                load_outputs.append((None, i, out_pos[i]))
         for si, (opname, nodes) in enumerate(steps_nodes):
             opc[si] = op_id[opname]
             for sj, i in enumerate(nodes):
@@ -244,15 +260,24 @@ class WitnessProgram:
                 if len(args) > 2:
                     c_i[si, sj] = reg_of[args[2]]
                 o_i[si, sj] = reg_of[i]
+                if i in out_pos:
+                    positions = out_pos[i]
+                    w_i[si, sj] = positions[0]
+                    for d in positions[1:]:
+                        out_dups.append((positions[0], d))
                 v = dt.imms[i]
                 if v is not None:
                     if v >= 2 ** 31:
                         raise NotImplementedError(
                             f"immediate too large for op '{opname}'")
                     imm[si, sj] = v
-        self.tables = (opc, a_i, b_i, c_i, o_i, imm.astype(np.int32))
+        self.tables = (opc, a_i, b_i, c_i, o_i, w_i, imm.astype(np.int32))
         self.const_loads = const_loads
         self.input_loads = input_loads
+        self.out_dups = out_dups
+        self.load_outputs = [
+            (reg_of[i], positions) for (_x, i, positions) in load_outputs
+        ]
         self.out_regs = np.asarray([reg_of[o] for o in dt.outputs], np.int32)
         self.n_steps = n_steps
 
@@ -348,9 +373,9 @@ class WitnessProgram:
         return rf
 
     def _run(self, inputs):
-        """inputs: uint32 (n_inputs, batch, L) -> (n_outputs, batch, L)."""
+        """inputs: uint32 (n_inputs, batch, L) -> (n_witness, batch, L)."""
         rf = self._init_regfile(inputs)
-        opc, a_i, b_i, c_i, o_i, imm = self.tables
+        opc, a_i, b_i, c_i, o_i, w_i, imm = self.tables
         branches = [self._branch(op) for op in self.branch_ops]
         if self.unroll:
             for si in range(self.n_steps):
@@ -360,29 +385,41 @@ class WitnessProgram:
                 rf = rf.at[o_i[si]].set(res)
             return rf[self.out_regs]
 
+        # witness stream buffer (+1 trash row); step results land directly
+        # here, so the register file only holds live dataflow values.
+        batch, L = inputs.shape[1], self.jf.L
+        out = jnp.zeros((self.n_witness + 1, batch, L), jnp.uint32)
+        for (reg, positions) in self.load_outputs:
+            for d in positions:
+                out = out.at[d].set(rf[reg])
         tables = tuple(jnp.asarray(t) for t in self.tables)
         S = self.slots
 
-        def body(rfc, instr):
-            op, ai, bi, ci, oi, k = instr
-            # scalar-index dynamic slices/updates: XLA keeps the register
-            # file in place inside the loop (a vector gather/scatter would
-            # force a full regfile copy per step — HBM-bandwidth death).
+        def body(carry, instr):
+            rfc, outc = carry
+            op, ai, bi, ci, oi, wi, k = instr
+
             def pick(idx):
                 return jnp.stack([
                     lax.dynamic_index_in_dim(rfc, idx[j], 0, keepdims=False)
                     for j in range(S)
                 ])
 
+            # scalar-index dynamic slices/updates: XLA keeps both buffers
+            # in place inside the loop (a vector gather/scatter would
+            # force a full copy per step — HBM-bandwidth death).
             fa, fb, fc = pick(ai), pick(bi), pick(ci)
             res = lax.switch(op, branches, fa, fb, fc,
                              k.astype(jnp.uint32))
             for j in range(S):
                 rfc = lax.dynamic_update_index_in_dim(rfc, res[j], oi[j], 0)
-            return rfc, None
+                outc = lax.dynamic_update_index_in_dim(outc, res[j], wi[j], 0)
+            return (rfc, outc), None
 
-        rf, _ = lax.scan(body, rf, tables)
-        return rf[self.out_regs]
+        (rf, out), _ = lax.scan(body, (rf, out), tables)
+        for (src_pos, dst_pos) in self.out_dups:
+            out = out.at[dst_pos].set(out[src_pos])
+        return out[:self.n_witness]
 
     def run(self, inputs):
         """inputs: uint32 array (n_inputs, batch, L)."""

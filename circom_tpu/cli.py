@@ -112,6 +112,9 @@ def main(argv=None):
         _print_reports(e.report, None)
         return 1
 
+    if args.inspect:
+        for w in cc.inspect():
+            print(w.render(cc.archive.file_library), file=sys.stderr)
     c = cc.counts()
     rows = cc.r1cs_rows()
     n_lin = sum(1 for (a, b, _c2) in rows if not a and not b)

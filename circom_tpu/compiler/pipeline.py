@@ -185,6 +185,30 @@ class CompiledCircuit:
         c = self.counts()
         return c["n_wires"]
 
+    def inspect(self):
+        """--inspect warnings: signals not appearing in any constraint
+        (dag/src/constraint_correctness_analysis.rs:100-173); underscored
+        signals count as used."""
+        warnings = []
+        for node in self.dag.nodes:
+            used = set(node.underscored_signals)
+            for c in node.constraints:
+                used |= c.signals()
+            inv = {v: k for k, v in node.signal_correspondence.items()}
+            n_io = node.outputs_length + node.inputs_length
+            for s in sorted(node.locals):
+                if s in used:
+                    continue
+                name = inv.get(s, str(s))
+                if s <= n_io:
+                    kind = "input/output signal"
+                else:
+                    kind = "local signal"
+                warnings.append(Report.warning(
+                    f"in template {node.template_name}: {kind} '{name}' "
+                    "does not appear in any constraint", "CA0001"))
+        return warnings
+
 
 def compile_circuit(path: str, prime: str = "bn128", link_libraries=(),
                     no_init: bool = False, simplification: str = "O1",
