@@ -16,7 +16,34 @@ import time
 BASELINE_CPU_WITNESSES_PER_SEC = 25_000.0
 
 
+def _tpu_alive(timeout=90):
+    """Probe device init in a subprocess: the axon tunnel can wedge and
+    hang jax.devices() forever; fall back to CPU so the bench always
+    reports."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); import sys; "
+             "sys.exit(0 if d else 1)"],
+            timeout=timeout, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and not _tpu_alive():
+        print("# TPU device init unavailable; falling back to CPU",
+              file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     from circom_tpu.circuits.gen_poseidon import generate

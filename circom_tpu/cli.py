@@ -97,7 +97,7 @@ def main(argv=None):
         simpl = "O0"
     elif args.O2 or args.O2round:
         simpl = "O2"
-        rounds = args.O2round or 1
+        rounds = args.O2round or (1 << 30)  # --O2 iterates to fixpoint
 
     try:
         cc = compile_circuit(

@@ -33,6 +33,8 @@ class CompiledCircuit:
         if simplification == "O0":
             self.simplified = None
         else:
+            if simplification == "O2" and rounds == 0:
+                rounds = 1 << 30  # plain --O2: iterate to fixpoint
             self.simplified = simplify(dag, self.hf, simplification, rounds)
 
     # -- constraint artifacts -------------------------------------------

@@ -249,8 +249,8 @@ def simplify(dag: DAG, hf: HostField, mode: str = "O1", rounds: int = 0):
 
     # phase 3: linear Gauss (O2)
     frames = [eq_frame, const_frame]
+    lin_frame = {}
     if mode == "O2":
-        lin_frame = {}
         clusters = _build_clusters([c for c in linear if not c.is_empty()])
         for cl in clusters:
             subs, cons = _gauss_cluster(cl, forbidden, hf)
@@ -275,9 +275,39 @@ def simplify(dag: DAG, hf: HostField, mode: str = "O1", rounds: int = 0):
             became_linear.append(c)
         else:
             storage.append(c)
-    # (O2round iteration of phase 3 over became_linear: future work —
-    # a single round matches --O2round 1)
-    storage.extend(became_linear)
+
+    # phase 5 (O2): iterate linear rounds over nonlinears that became
+    # linear (constraint_simplification.rs:600-646 while apply_round)
+    rounds_left = max(rounds - 1, 0) if mode == "O2" else 0
+    while rounds_left > 0 and became_linear:
+        round_frame = {}
+        clusters = _build_clusters(
+            [c for c in became_linear if not c.is_empty()])
+        became_linear = []
+        for cl in clusters:
+            subs, cons = _gauss_cluster(cl, forbidden, hf)
+            lconst.extend(cons)
+            for s in subs:
+                round_frame[s.signal] = s.coeffs
+                deleted.add(s.signal)
+        if not round_frame:
+            break
+        for c in lconst:
+            _apply_frames(c, [round_frame], hf)
+        new_storage = []
+        for c in storage:
+            _apply_frames(c, [round_frame], hf)
+            if c.is_empty():
+                continue
+            if c.is_linear():
+                became_linear.append(c)
+            else:
+                new_storage.append(c)
+        storage = new_storage
+        lin_frame.update(round_frame)
+        rounds_left -= 1
+
+    storage.extend(c for c in became_linear if not c.is_empty())
     for c in lconst:
         c.fixed(hf)
         if not c.is_empty():
@@ -307,7 +337,7 @@ def simplify(dag: DAG, hf: HostField, mode: str = "O1", rounds: int = 0):
     for k, v in const_frame.items():
         substitutions[k] = v
     if mode == "O2":
-        for k, v in frames[2].items():
+        for k, v in lin_frame.items():
             substitutions[k] = v
 
     return SimplifiedSystem(storage, signal_map, max_signal, forbidden,
