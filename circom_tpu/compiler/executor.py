@@ -313,7 +313,7 @@ class InstanceBuilder:
 class Frame:
     __slots__ = ("kind", "scopes", "signals", "components", "builder",
                  "instance", "unknown_depth", "preset_inputs", "caller_meta",
-                 "name")
+                 "name", "preset_input_tags")
 
     def __init__(self, kind, name=""):
         self.kind = kind          # 'template' | 'function'
@@ -325,6 +325,7 @@ class Frame:
         self.instance = None      # ComponentState (witness modes)
         self.unknown_depth = 0
         self.preset_inputs = None  # name -> Slice of values
+        self.preset_input_tags = {}  # input name -> {tag: value}
 
     def declare_var(self, name, slc):
         self.scopes[-1][name] = slc
@@ -439,6 +440,7 @@ class Executor:
             )
         frame = Frame("template", name)
         frame.builder = InstanceBuilder(name, params, public)
+        frame.preset_input_tags = dict(input_tags)
         for argname, value in zip(tmpl.args, params):
             frame.declare_var(argname, _as_slice(self._to_domain(value)))
         self._exec_stmt(tmpl.body, frame)
@@ -523,6 +525,11 @@ class Executor:
         frame = Frame("template", inst.template)
         frame.instance = inst
         frame.preset_inputs = self._prepare_inputs(inst, input_values, tmpl)
+        if inst.node_id is not None:
+            node = self.dag.nodes[inst.node_id]
+            for (wname, _d, xtype, tagvals, _l) in node.wire_info:
+                if xtype == A.SignalType.INPUT and tagvals:
+                    frame.preset_input_tags[wname] = dict(tagvals)
         for argname, value in zip(tmpl.args, inst.params):
             frame.declare_var(argname, _as_slice(self._to_domain(value)))
         self._witness_path = path
@@ -607,6 +614,11 @@ class Executor:
             raise err("declaration inside unknown condition", "T2040", s.meta)
         if kind == "signal":
             decl = SignalDecl(s.name, dims, s.xtype.signal_type, s.xtype.tags)
+            if (s.xtype.signal_type == A.SignalType.INPUT
+                    and s.name in frame.preset_input_tags):
+                for t, v in frame.preset_input_tags[s.name].items():
+                    if t in decl.tag_values:
+                        decl.tag_values[t] = v
             frame.signals[s.name] = decl
             if frame.builder is not None:
                 frame.builder.wire_order.append(decl)
@@ -851,6 +863,61 @@ class Executor:
         value = self._eval(s.rhe, frame)
         slc.set(idxs, value, s.meta)
 
+    def _source_tags(self, rhe, frame):
+        """Tags carried by a DIRECT signal-to-signal assignment RHS
+        (tags do not survive arithmetic; assignment_utils.rs semantics).
+        Returns {tag: value|None} or None."""
+        if not isinstance(rhe, A.Variable):
+            return None
+        name = rhe.name
+        decl = None
+        if name in frame.signals and not isinstance(
+            frame.signals[name], PendingBus
+        ):
+            decl = frame.signals[name]
+            # ensure it is not a tag read itself
+            if any(isinstance(a, A.ComponentAccess)
+                   and a.name in decl.tag_values for a in rhe.access):
+                return None
+        elif name in frame.components:
+            try:
+                idxs0, sig, _rest = self._component_access_split(
+                    rhe.access, frame, rhe.meta)
+            except ExecError:
+                return None
+            cs = frame.components[name].get(idxs0)
+            if cs is None or isinstance(cs, Slice) or sig is None:
+                return None
+            decl = cs.signals.get(sig)
+        if decl is None:
+            return None
+        return dict(decl.tag_values)
+
+    def _check_and_inherit_tags(self, decl, rhe, frame, meta,
+                                strict=False):
+        """Tag flow on assignment (tag_analysis semantics):
+
+        * strict (component-input boundary): every declared tag of the
+          input must be carried by the assigned expression — the tag is a
+          caller obligation; values are inherited.
+        * non-strict (a template's own tagged signal): the declaring
+          template grants the tag; values inherit from a tagged source
+          when available.
+        """
+        if not decl.tags:
+            return
+        src_tags = self._source_tags(rhe, frame)
+        for t in decl.tags:
+            if decl.tag_values.get(t) is not None:
+                continue  # explicitly valued in this template
+            if src_tags is not None and t in src_tags:
+                decl.tag_values[t] = src_tags[t]
+            elif strict:
+                raise err(
+                    f"input '{decl.name}' requires tag '{t}' but the "
+                    "assigned expression does not carry it", "T2027", meta,
+                )
+
     def _assign_signal(self, s, decl: SignalDecl, frame):
         res = self._resolve_wire(decl, s.access, frame, s.meta)
         if res[0] == "tag":
@@ -863,6 +930,7 @@ class Executor:
         if s.op == A.AssignOp.VAR:
             raise err("signals must be assigned with <== or <--",
                       "T2031", s.meta)
+        self._check_and_inherit_tags(decl, s.rhe, frame, s.meta)
         value = self._eval(s.rhe, frame)
         self._store_signal_elements(decl, start, count, value, s.op, frame,
                                     s.meta, prefix="")
@@ -971,7 +1039,7 @@ class Executor:
                       "T2041", s.meta)
         value = self._eval(s.rhe, frame)
         self._assign_component_input(cs, comp_sig, rest, value, s.op,
-                                     frame, s.meta)
+                                     frame, s.meta, rhe_ast=s.rhe)
 
     def _instantiate(self, cname, idxs, closure, cslice, frame, meta):
         cs = ComponentState()
@@ -985,9 +1053,18 @@ class Executor:
         tmpl = self.archive.templates.get(closure.name)
         if tmpl is None:
             raise err(f"unknown template '{closure.name}'", "T2007", meta)
-        # decide readiness: defer only when inputs declare tags whose values
-        # must come from the caller (approximation of unassigned_tags)
+        # templates whose inputs declare tags execute once the caller has
+        # fed every input (tag values travel with the assignments and are
+        # part of the memo key — ComponentRepresentation unassigned_tags /
+        # is_ready_initialize semantics); untagged templates execute at
+        # instantiation (execute.rs:1795-1875).
         if self.mode == "constrain":
+            if self._template_input_tags(closure.name):
+                cs.pending_inputs = [(cname, tuple(idxs), frame)]
+                self._bind_component_io_from_scan(cs, closure, meta)
+                if cs.inputs_remaining == 0:
+                    self._finish_deferred_instantiation(cs, frame, meta)
+                return
             node_id = self.execute_template(
                 closure.name, closure.params, cs.input_tag_values, meta=meta,
             )
@@ -999,22 +1076,151 @@ class Executor:
             if cs.inputs_remaining == 0:
                 cs.executed = True
         else:
-            key = self._memo_key(closure.name, closure.params,
-                                 cs.input_tag_values)
-            node_id = self.memo.get(key)
-            if node_id is None:
-                raise err(
-                    f"instance of '{closure.name}' absent from constraint "
-                    "pass (params mismatch)", "T2048", meta,
-                )
-            cs.node_id = node_id
-            self._bind_component_io(cs, node_id)
             path = f"{self._witness_path}.{cs.label}"
             self.instances_by_path[path] = cs
             if frame.instance is not None:
                 frame.instance.child_instances[cs.label] = cs
+            if self._template_input_tags(closure.name):
+                # tags arrive with the inputs; resolve the instance then
+                self._bind_component_io_from_scan(cs, closure, meta)
+                if cs.inputs_remaining == 0:
+                    self._resolve_witness_node(cs, meta)
+                    self._execute_child_witness(cs)
+                return
+            self._resolve_witness_node(cs, meta)
+            self._bind_component_io(cs, cs.node_id)
             if cs.inputs_remaining == 0:
                 self._execute_child_witness(cs)
+
+    def _resolve_witness_node(self, cs, meta):
+        key = self._memo_key(cs.template, cs.params, cs.input_tag_values)
+        node_id = self.memo.get(key)
+        if node_id is None:
+            raise err(
+                f"instance of '{cs.template}' absent from constraint "
+                "pass (params/tags mismatch)", "T2048", meta,
+            )
+        cs.node_id = node_id
+
+    def _template_input_tags(self, name):
+        """True if any input of the template declares tags (cached)."""
+        cache = getattr(self, "_tmpl_tag_cache", None)
+        if cache is None:
+            cache = self._tmpl_tag_cache = {}
+        if name in cache:
+            return cache[name]
+        tmpl = self.archive.templates[name]
+        found = False
+
+        def walk(s):
+            nonlocal found
+            if isinstance(s, A.Block):
+                for x in s.stmts:
+                    walk(x)
+            elif isinstance(s, A.InitializationBlock):
+                for x in s.initializations:
+                    walk(x)
+            elif isinstance(s, A.Declaration):
+                if (s.xtype.kind in ("signal", "bus") and s.xtype.tags
+                        and s.xtype.signal_type == A.SignalType.INPUT):
+                    found = True
+            elif isinstance(s, A.IfThenElse):
+                walk(s.if_case)
+                if s.else_case:
+                    walk(s.else_case)
+            elif isinstance(s, A.While):
+                walk(s.stmt)
+
+        walk(tmpl.body)
+        cache[name] = found
+        return found
+
+    def _bind_component_io_from_scan(self, cs, closure, meta):
+        """Bind the io wires of a deferred (tagged-input) component from a
+        light scan of the template body: var tracking + declarations only
+        (signal dims depend only on params/vars)."""
+        tmpl = self.archive.templates[closure.name]
+        frame = Frame("function", closure.name)
+        for argname, value in zip(tmpl.args, closure.params):
+            frame.declare_var(argname, _as_slice(self._to_domain(value)))
+        wires = []
+
+        def walk(s):
+            if isinstance(s, A.Block):
+                for x in s.stmts:
+                    walk(x)
+            elif isinstance(s, A.InitializationBlock):
+                for x in s.initializations:
+                    walk(x)
+            elif isinstance(s, A.Declaration):
+                if s.xtype.kind == "var":
+                    dims = [self._index_value(self._eval(d, frame), s.meta)
+                            for d in s.dimensions]
+                    frame.declare_var(s.name, Slice.filled(dims, None))
+                elif s.xtype.kind == "signal" and s.xtype.signal_type in (
+                    A.SignalType.INPUT, A.SignalType.OUTPUT,
+                ):
+                    dims = [self._index_value(self._eval(d, frame), s.meta)
+                            for d in s.dimensions]
+                    wires.append((s.name, dims, s.xtype.signal_type,
+                                  s.xtype.tags, None))
+                elif s.xtype.kind == "bus" and s.xtype.signal_type in (
+                    A.SignalType.INPUT, A.SignalType.OUTPUT,
+                ):
+                    raise err(
+                        "tagged templates with bus io are not supported "
+                        "yet", "T2037", s.meta,
+                    )
+            elif isinstance(s, A.Substitution):
+                try:
+                    target = frame.lookup_var(s.var)
+                except Exception:
+                    target = None
+                if target is not None:
+                    try:
+                        self._assign_var(s, frame)
+                    except ExecError:
+                        pass
+            elif isinstance(s, A.IfThenElse):
+                cond = self.domain.as_cond(self._eval(s.cond, frame))
+                if cond is True:
+                    walk(s.if_case)
+                elif cond is False and s.else_case is not None:
+                    walk(s.else_case)
+            elif isinstance(s, A.While):
+                while True:
+                    cond = self.domain.as_cond(self._eval(s.cond, frame))
+                    if not cond:
+                        break
+                    walk(s.stmt)
+
+        walk(tmpl.body)
+        total_inputs = 0
+        for (name, dims, xtype, tags, layout) in wires:
+            decl = SignalDecl(name, dims, xtype, list(tags), layout)
+            if xtype == A.SignalType.INPUT:
+                total_inputs += decl.total_size()
+            cs.signals[name] = decl
+        cs.inputs_remaining = total_inputs
+
+    def _finish_deferred_instantiation(self, cs, frame, meta):
+        """All inputs (and hence tag values) known: execute + record."""
+        node_id = self.execute_template(
+            cs.template, cs.params, cs.input_tag_values, meta=meta,
+        )
+        cs.node_id = node_id
+        # replace output decls with the node's (keeps exported tag values)
+        node = self.dag.nodes[node_id]
+        for (name, dims, xtype, tagvals, layout) in node.wire_info:
+            if xtype == A.SignalType.OUTPUT:
+                decl = SignalDecl(name, dims, xtype, list(tagvals), layout)
+                decl.tag_values = dict(tagvals)
+                cs.signals[name] = decl
+        (cname, idxs, owner_frame) = cs.pending_inputs[0]
+        owner_frame.builder.connexions.append(
+            (cname, idxs, cs.label, node_id, cs.is_parallel)
+        )
+        cs.executed = True
 
     def _bind_component_io(self, cs: ComponentState, node_id):
         node = self.dag.nodes[node_id]
@@ -1030,7 +1236,7 @@ class Executor:
         cs.inputs_remaining = total_inputs
 
     def _assign_component_input(self, cs, sig_name, rest_access, value, op,
-                                frame, meta):
+                                frame, meta, rhe_ast=None):
         decl = cs.signals.get(sig_name)
         if decl is None or decl.xtype != A.SignalType.INPUT:
             raise err(
@@ -1043,13 +1249,24 @@ class Executor:
             raise err("input tag assignment through components is not "
                       "supported yet", "T2035", meta)
         _k, start, count = res
+        # tagged inputs: the assigned expression must carry the tags;
+        # collected values become part of the instance identity.
+        if decl.tags and rhe_ast is not None:
+            self._check_and_inherit_tags(decl, rhe_ast, frame, meta,
+                                         strict=True)
+            cs.input_tag_values[sig_name] = dict(decl.tag_values)
         count = self._store_signal_elements(
             decl, start, count, value, op, frame, meta, prefix=prefix)
         cs.inputs_remaining -= count
         if cs.inputs_remaining == 0:
             if self.mode == "constrain":
-                cs.executed = True  # body already ran at instantiation
+                if cs.node_id is None:
+                    self._finish_deferred_instantiation(cs, frame, meta)
+                else:
+                    cs.executed = True  # body ran at instantiation
             else:
+                if cs.node_id is None:
+                    self._resolve_witness_node(cs, meta)
                 self._execute_child_witness(cs)
 
     def _execute_child_witness(self, cs: ComponentState):

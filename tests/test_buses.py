@@ -158,3 +158,88 @@ component main = Main();
     cc = compile_source(src)
     w = cc.witness_host({"p": [3, 4]})
     assert w[1:3] == [4, 3]
+
+
+def test_tagged_inputs_and_memoization():
+    """Input tags: required on assignment, values flow into the instance
+    identity; Num2Bits-style valued tags readable in the child."""
+    src = """
+pragma circom 2.0.0;
+template ForceBits(n) {
+    signal input in;
+    signal output {binary} out[n];
+    var lc = 0;
+    for (var i = 0; i < n; i++) {
+        out[i] <-- (in >> i) & 1;
+        out[i] * (out[i] - 1) === 0;
+        lc += out[i] * 2 ** i;
+    }
+    lc === in;
+}
+template TakesBit() {
+    signal input {binary} b;
+    signal output out;
+    out <== 1 - b;
+}
+template Main() {
+    signal input x;
+    signal output out;
+    component n2b = ForceBits(4);
+    n2b.in <== x;
+    component t = TakesBit();
+    t.b <== n2b.out[0];
+    out <== t.out;
+}
+component main = Main();
+"""
+    cc = compile_source(src)
+    w = cc.witness_host({"x": 5})
+    assert w[1] == 0  # lsb of 5 is 1 -> out = 0
+
+
+def test_tag_required_rejects_untagged():
+    src = """
+pragma circom 2.0.0;
+template TakesBit() {
+    signal input {binary} b;
+    signal output out;
+    out <== 1 - b;
+}
+template Main() {
+    signal input x;
+    signal output out;
+    component t = TakesBit();
+    t.b <== x;  // x carries no binary tag
+    out <== t.out;
+}
+component main = Main();
+"""
+    from circom_tpu.compiler.values import ExecError
+
+    with pytest.raises(ExecError):
+        compile_source(src)
+
+
+def test_valued_tag_read_in_child():
+    src = """
+pragma circom 2.0.0;
+template Sized() {
+    signal input {maxbits} v;
+    signal output out;
+    out <== v * v.maxbits;
+}
+template Main() {
+    signal input x;
+    signal {maxbits} y;
+    signal output out;
+    y.maxbits = 8;
+    y <== x;
+    component s = Sized();
+    s.v <== y;
+    out <== s.out;
+}
+component main = Main();
+"""
+    cc = compile_source(src)
+    w = cc.witness_host({"x": 3})
+    assert w[1] == 24  # 3 * 8
