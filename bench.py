@@ -81,7 +81,7 @@ def main():
               file=sys.stderr)
         if not checked:
             # correctness spot check vs the host calculator
-            got = prog.decode_outputs(out[:, :1, :])
+            got = prog.decode_outputs(out[:, :, :1])
             expect = cc.witness_host({"inputs": [cols[0][0], cols[1][0]]})
             actual = [got[i][0] for i in range(len(got))]
             assert actual == expect, "TPU witness mismatch vs host calculator"

@@ -46,44 +46,44 @@ class R1CSChecker:
             self.coo.append((
                 np.asarray(rws, np.int32),
                 np.asarray(cols, np.int32),
-                ints_to_limbs(coeffs, L),
+                ints_to_limbs(coeffs, L)[:, :, None],  # (nnz, L, 1)
             ))
     def _reduce_wide(self, sums):
-        """uint32 (..., L+2) wide column sums (value < 2^16·p) -> canonical
-        limbs mod p, preserving the summands' Montgomery scale.
+        """uint32 (..., L+2, B) wide column sums (value < 2^16·p) ->
+        canonical limbs mod p, preserving the summands' Montgomery scale.
 
         V = (sum of MONT values); mont_reduce_cols gives V·R^-1 mod p, and
         multiplying by R² restores V mod p (still MONT of the plain sum).
         """
         jf = self.jf
         L = jf.L
-        pad = jnp.zeros(sums.shape[:-1] + (2 * L + 1 - sums.shape[-1],),
-                        jnp.uint32)
-        cols = jnp.concatenate([sums, pad], axis=-1)
+        pad = jnp.zeros(sums.shape[:-2] + (2 * L + 1 - sums.shape[-2],)
+                        + sums.shape[-1:], jnp.uint32)
+        cols = jnp.concatenate([sums, pad], axis=-2)
         w = jf.mont_reduce_cols(cols)          # V·R^-1 mod p
         return jf.mont_mul(w, jf.R2_limbs)     # V mod p
 
     def _matvec(self, mi, z_mont):
-        """z_mont: (batch, n_wires, L) MONT -> (batch, n_rows, L) MONT."""
+        """z_mont: (n_wires, L, B) MONT -> (n_rows, L, B) MONT."""
         jf = self.jf
         rws, cols, coeffs = self.coo[mi]
         if len(rws) == 0:
-            return jnp.zeros(z_mont.shape[:1] + (self.n_rows, jf.L),
+            return jnp.zeros((self.n_rows, jf.L) + z_mont.shape[-1:],
                              jnp.uint32)
-        zc = z_mont[:, cols, :]                  # (batch, nnz, L)
-        prod = jf.mont_mul(zc, coeffs)           # (batch, nnz, L) < p
+        zc = z_mont[cols]                        # (nnz, L, B)
+        prod = jf.mont_mul(zc, coeffs)           # (nnz, L, B) < p
         # wide row sums: limbwise segment_sum stays exact in uint32
         wide = jnp.concatenate(
-            [prod, jnp.zeros(prod.shape[:-1] + (2,), jnp.uint32)], axis=-1)
-        sums = jax.ops.segment_sum(
-            jnp.swapaxes(wide, 0, 1), rws, num_segments=self.n_rows)
-        sums = jnp.swapaxes(sums, 0, 1)          # (batch, n_rows, L+2)
+            [prod, jnp.zeros(prod.shape[:-2] + (2,) + prod.shape[-1:],
+                             jnp.uint32)], axis=-2)
+        sums = jax.ops.segment_sum(wide, rws, num_segments=self.n_rows)
         return self._reduce_wide(sums)
 
     def check(self, z):
-        """z: uint32 (batch, n_wires, L) canonical witness (wire 0 = 1).
+        """z: uint32 (n_wires, L, B) canonical witnesses (wire 0 = 1) —
+        same layout the witness program produces.
 
-        Returns bool (batch,): all constraints satisfied per witness.
+        Returns bool (B,): all constraints satisfied per witness.
         """
         jf = self.jf
         z_mont = jf.to_mont(z)
@@ -92,10 +92,11 @@ class R1CSChecker:
         cz = self._matvec(2, z_mont)   # Cz·R
         # mont_mul(Az·R, Bz·R) = Az·Bz·R, same R-scale as cz:
         res = jf.sub(jf.mont_mul(az, bz), cz)
-        return jnp.all(jf.is_zero(res), axis=-1)
+        return jnp.all(jf.is_zero(res), axis=0)
 
     def check_witness_list(self, witnesses):
         """witnesses: list of lists of canonical ints -> bool per witness."""
         L = self.jf.L
         arr = np.stack([ints_to_limbs(w, L) for w in witnesses], axis=0)
+        arr = np.transpose(arr, (1, 2, 0))  # (n_wires, L, B)
         return np.asarray(jax.jit(self.check)(arr))

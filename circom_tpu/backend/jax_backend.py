@@ -289,14 +289,15 @@ class WitnessProgram:
 
         def shr_dyn(a, k):
             # per-slot dynamic right shift, k: (S,) uint32 in [0, bits)
+            # a: (S, L, B) limb-major
             q = (k // LIMB_BITS).astype(jnp.int32)[:, None, None]
             r = (k % LIMB_BITS).astype(jnp.uint32)[:, None, None]
             idx = jnp.broadcast_to(
-                jnp.arange(L, dtype=jnp.int32)[None, None, :] + q, a.shape)
-            g = jnp.take_along_axis(a, jnp.minimum(idx, L - 1), axis=-1)
+                jnp.arange(L, dtype=jnp.int32)[None, :, None] + q, a.shape)
+            g = jnp.take_along_axis(a, jnp.minimum(idx, L - 1), axis=-2)
             g = jnp.where(idx < L, g, 0)
             idx2 = idx + 1
-            g2 = jnp.take_along_axis(a, jnp.minimum(idx2, L - 1), axis=-1)
+            g2 = jnp.take_along_axis(a, jnp.minimum(idx2, L - 1), axis=-2)
             g2 = jnp.where(idx2 < L, g2, 0)
             return (g >> r) | ((g2 << (LIMB_BITS - r)) & MASK)
 
@@ -304,15 +305,16 @@ class WitnessProgram:
             q = (k // LIMB_BITS).astype(jnp.int32)[:, None, None]
             r = (k % LIMB_BITS).astype(jnp.uint32)[:, None, None]
             idx = jnp.broadcast_to(
-                jnp.arange(L, dtype=jnp.int32)[None, None, :] - q, a.shape)
-            g = jnp.take_along_axis(a, jnp.maximum(idx, 0), axis=-1)
+                jnp.arange(L, dtype=jnp.int32)[None, :, None] - q, a.shape)
+            g = jnp.take_along_axis(a, jnp.maximum(idx, 0), axis=-2)
             g = jnp.where(idx >= 0, g, 0)
             idx2 = idx - 1
-            g2 = jnp.take_along_axis(a, jnp.maximum(idx2, 0), axis=-1)
+            g2 = jnp.take_along_axis(a, jnp.maximum(idx2, 0), axis=-2)
             g2 = jnp.where(idx2 >= 0, g2, 0)
             res = (((g << r) & MASK) | (g2 >> (LIMB_BITS - r))) \
                 & jf.mask_limbs
-            return jf._cond_sub_p(res, jnp.zeros(res.shape[:-1], jnp.uint32))
+            return jf._cond_sub_p(
+                res, jnp.zeros(res.shape[:-2] + res.shape[-1:], jnp.uint32))
 
         def pow_dyn(a, e):
             e = e.astype(jnp.uint32)[:, None, None]
@@ -355,17 +357,18 @@ class WitnessProgram:
 
     # -- program ---------------------------------------------------------
     def _init_regfile(self, inputs):
+        """inputs: uint32 (n_inputs, L, batch) — limb-major, batch-minor."""
         jf = self.jf
-        batch = inputs.shape[1]
+        batch = inputs.shape[2]
         L = jf.L
         from ..ops.limbs import int_to_limbs
 
         R = 1 << (LIMB_BITS * L)
-        rf = np.zeros((self.n_regs, 1, L), np.uint32)
+        rf = np.zeros((self.n_regs, L, 1), np.uint32)
         for (reg, value, domain) in self.const_loads:
             v = value if domain != MONT else (value * R) % jf.p
-            rf[reg, 0] = int_to_limbs(v, L)
-        rf = jnp.broadcast_to(jnp.asarray(rf), (self.n_regs, batch, L))
+            rf[reg, :, 0] = int_to_limbs(v, L)
+        rf = jnp.broadcast_to(jnp.asarray(rf), (self.n_regs, L, batch))
         if self.input_loads:
             regs = jnp.asarray([r for (r, _) in self.input_loads])
             idxs = jnp.asarray([i for (_, i) in self.input_loads])
@@ -373,7 +376,7 @@ class WitnessProgram:
         return rf
 
     def _run(self, inputs):
-        """inputs: uint32 (n_inputs, batch, L) -> (n_witness, batch, L)."""
+        """inputs: uint32 (n_inputs, L, batch) -> (n_witness, L, batch)."""
         rf = self._init_regfile(inputs)
         opc, a_i, b_i, c_i, o_i, w_i, imm = self.tables
         branches = [self._branch(op) for op in self.branch_ops]
@@ -399,8 +402,8 @@ class WitnessProgram:
 
         # witness stream buffer (+1 trash row); step results land directly
         # here, so the register file only holds live dataflow values.
-        batch, L = inputs.shape[1], self.jf.L
-        out = jnp.zeros((self.n_witness + 1, batch, L), jnp.uint32)
+        batch, L = inputs.shape[2], self.jf.L
+        out = jnp.zeros((self.n_witness + 1, L, batch), jnp.uint32)
         for (reg, positions) in self.load_outputs:
             for d in positions:
                 out = out.at[d].set(rf[reg])
@@ -434,7 +437,7 @@ class WitnessProgram:
         return out[:self.n_witness]
 
     def run(self, inputs):
-        """inputs: uint32 array (n_inputs, batch, L)."""
+        """inputs: uint32 array (n_inputs, L, batch)."""
         if self._jit is None:
             self._jit = jax.jit(self._run)
         return self._jit(inputs)
@@ -445,19 +448,19 @@ class WitnessProgram:
     # -- host-side convenience ------------------------------------------
     def encode_inputs(self, columns):
         """columns: list (len n_inputs) of lists of ints (len batch)
-        -> uint32 (n_inputs, batch, L)."""
+        -> uint32 (n_inputs, L, batch)."""
         from ..ops.limbs import ints_to_limbs
 
         L = self.jf.L
-        arrs = [ints_to_limbs(col, L) for col in columns]
+        arrs = [ints_to_limbs(col, L).T.copy() for col in columns]
         return np.stack(arrs, axis=0)
 
     def decode_outputs(self, arr):
-        """(n_outputs, batch, L) -> list of lists of ints [output][batch]."""
+        """(n_outputs, L, batch) -> list of lists of ints [output][batch]."""
         from ..ops.limbs import limbs_to_int
 
         arr = np.asarray(arr)
         return [
-            [limbs_to_int(arr[i, j]) for j in range(arr.shape[1])]
+            [limbs_to_int(arr[i, :, j]) for j in range(arr.shape[2])]
             for i in range(arr.shape[0])
         ]

@@ -1,8 +1,13 @@
 """Batched prime-field arithmetic in JAX over base-2^16 limb planes.
 
-An element batch is ``uint32[..., L]`` (little-endian 16-bit limbs in 32-bit
-lanes).  Multiplication is vectorized Montgomery CIOS: the per-limb loops run
-at trace time (L iterations of fully batched VPU ops), so one `mont_mul`
+An element batch is ``uint32[..., L, batch]`` — limb-major, batch-minor.
+The batch axis is the MINOR (lane) dimension so every elementwise op runs
+at full VPU lane utilization (the TPU vector registers are 8x128; a
+batch-minor layout with batch >= 128 fills them, whereas a limb-minor
+layout would cap at L/128 = 12.5% for 256-bit fields).
+
+Multiplication is vectorized Montgomery CIOS: the per-limb loops run at
+trace time (L iterations of fully batched VPU ops), so one `mont_mul`
 costs ~O(L^2) elementwise uint32 ops over the whole batch — no 64-bit
 integers, no data-dependent control flow, XLA-fusable.
 
@@ -28,68 +33,71 @@ MASK = (1 << LIMB_BITS) - 1
 
 
 class JaxField:
-    """Field-op kernel library for one prime, acting on uint32[..., L]."""
+    """Field-op kernel library for one prime, acting on uint32[..., L, B]."""
 
     def __init__(self, spec: FieldSpec):
         self.spec = spec
         c = spec_constants(spec)
         self.L = c["L"]
         self.p = c["p"]
-        # numpy constants: folded into the XLA graph at trace time, no
-        # eager device transfers at construction (eager dispatch is very
-        # slow under the axon tunnel).
+        # numpy constants, shaped (L, 1) to broadcast over the batch lane
+        # axis; folded into the XLA graph at trace time (no eager device
+        # transfers — eager dispatch is slow under the axon tunnel).
         self.n0inv = np.uint32(c["n0inv"])
-        self.p_limbs = np.asarray(c["p_limbs"])
-        self.R2_limbs = np.asarray(c["R2_limbs"])
-        self.one_mont = np.asarray(c["one_mont_limbs"])
-        self.mask_limbs = np.asarray(c["mask_limbs"])
-        self.half_limbs = np.asarray(c["half_limbs"])
-        self.zero_limbs = np.zeros(self.L, np.uint32)
-        self.one_limbs = np.zeros(self.L, np.uint32)
-        self.one_limbs[0] = 1
+        self.p_limbs = np.asarray(c["p_limbs"])[:, None]
+        self.R2_limbs = np.asarray(c["R2_limbs"])[:, None]
+        self.one_mont = np.asarray(c["one_mont_limbs"])[:, None]
+        self.mask_limbs = np.asarray(c["mask_limbs"])[:, None]
+        self.half_limbs = np.asarray(c["half_limbs"])[:, None]
+        self.zero_limbs = np.zeros((self.L, 1), np.uint32)
+        self.one_limbs = np.zeros((self.L, 1), np.uint32)
+        self.one_limbs[0, 0] = 1
 
     # ------------------------------------------------------------------
-    # helpers
+    # helpers (all shapes: (..., L, B) limbs; (..., B) scalars)
     # ------------------------------------------------------------------
     def _cond_sub_p(self, r, extra_top):
-        """r (uint32 limbs, < p + 2^16L) + extra_top*2^16L < 2p  ->  canonical.
+        """r (uint32 limbs, value + extra_top*2^16L < 2p) -> canonical.
 
         Subtracts p when the (L+1)-limb value >= p; branch-free select.
         """
         L = self.L
-        d = r.astype(jnp.int32) - self.p_limbs.astype(jnp.int32)
+        d = r.astype(jnp.int32) - self.p_limbs.astype(np.int32)
         limbs = []
-        borrow = jnp.zeros(r.shape[:-1], jnp.int32)
+        borrow = jnp.zeros(d.shape[:-2] + d.shape[-1:], jnp.int32)
         for i in range(L):
-            v = d[..., i] - borrow
+            v = d[..., i, :] - borrow
             limbs.append((v & MASK).astype(jnp.uint32))
             borrow = -(v >> LIMB_BITS)  # 0 or 1
-        sub = jnp.stack(limbs, axis=-1)
-        take_sub = (extra_top.astype(jnp.int32) - borrow) >= 0  # r+top*B >= p
-        return jnp.where(take_sub[..., None], sub, r)
+        sub = jnp.stack(limbs, axis=-2)
+        take_sub = (extra_top.astype(jnp.int32) - borrow) >= 0
+        return jnp.where(take_sub[..., None, :], sub, r)
 
     def _carry16(self, cols):
         """Sequential carry propagation of uint32 columns -> (limbs, carry)."""
-        n = cols.shape[-1]
-        carry = jnp.zeros(cols.shape[:-1], jnp.uint32)
+        n = cols.shape[-2]
+        carry = jnp.zeros(cols.shape[:-2] + cols.shape[-1:], jnp.uint32)
         limbs = []
         for i in range(n):
-            t = cols[..., i] + carry
+            t = cols[..., i, :] + carry
             limbs.append(t & MASK)
             carry = t >> LIMB_BITS
-        return jnp.stack(limbs, axis=-1), carry
+        return jnp.stack(limbs, axis=-2), carry
 
     def _ult(self, a, b):
-        """Unsigned a < b over limb arrays -> bool (...,)."""
-        borrow = jnp.zeros(a.shape[:-1], jnp.int32)
+        """Unsigned a < b over limb arrays -> bool (..., B)."""
+        borrow = jnp.zeros(jnp.broadcast_shapes(
+            a.shape[:-2] + a.shape[-1:], b.shape[:-2] + b.shape[-1:]),
+            jnp.int32)
         for i in range(self.L):
-            v = a[..., i].astype(jnp.int32) - b[..., i].astype(jnp.int32) - borrow
+            v = (a[..., i, :].astype(jnp.int32)
+                 - b[..., i, :].astype(jnp.int32) - borrow)
             borrow = -(v >> LIMB_BITS)
         return borrow > 0
 
     def _is_neg(self, a):
         """Signed-convention negativity: a > p//2 (modular_arithmetic.rs:154)."""
-        return self._ult(jnp.broadcast_to(self.half_limbs, a.shape), a)
+        return self._ult(self.half_limbs, a)
 
     # ------------------------------------------------------------------
     # ring ops (domain-agnostic: work in both MONT and NORM)
@@ -100,13 +108,13 @@ class JaxField:
 
     def sub(self, a, b):
         v = (a + self.p_limbs).astype(jnp.int32) - b.astype(jnp.int32)
-        carry = jnp.zeros(a.shape[:-1], jnp.int32)
+        carry = jnp.zeros(v.shape[:-2] + v.shape[-1:], jnp.int32)
         limbs = []
         for i in range(self.L):
-            t = v[..., i] + carry
+            t = v[..., i, :] + carry
             limbs.append((t & MASK).astype(jnp.uint32))
             carry = t >> LIMB_BITS
-        r = jnp.stack(limbs, axis=-1)
+        r = jnp.stack(limbs, axis=-2)
         return self._cond_sub_p(r, carry.astype(jnp.uint32))
 
     def neg(self, a):
@@ -115,12 +123,13 @@ class JaxField:
     def mont_mul(self, a, b):
         """(aR)(bR)R^-1 = abR mod p — vectorized CIOS over 16-bit limbs."""
         L = self.L
-        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-        cols = jnp.zeros(shape + (2 * L + 1,), jnp.uint32)
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        lead, B = shape[:-2], shape[-1]
+        cols = jnp.zeros(lead + (2 * L + 1, B), jnp.uint32)
         for i in range(L):
-            prod = a[..., i : i + 1] * b  # exact: < 2^32
-            cols = cols.at[..., i : i + L].add(prod & MASK)
-            cols = cols.at[..., i + 1 : i + L + 1].add(prod >> LIMB_BITS)
+            prod = a[..., i : i + 1, :] * b  # exact: < 2^32
+            cols = cols.at[..., i : i + L, :].add(prod & MASK)
+            cols = cols.at[..., i + 1 : i + L + 1, :].add(prod >> LIMB_BITS)
         return self.mont_reduce_cols(cols)
 
     def mont_reduce_cols(self, cols):
@@ -130,22 +139,22 @@ class JaxField:
         This is the tail of CIOS; also used to fold wide segment sums in
         the R1CS checker (backend/checker.py)."""
         L = self.L
-        shape = cols.shape[:-1]
+        shape = cols.shape[:-2] + cols.shape[-1:]
         carry = jnp.zeros(shape, jnp.uint32)
         for i in range(L):
-            t = cols[..., i] + carry
+            t = cols[..., i, :] + carry
             m = (t * self.n0inv) & MASK
-            mp = m[..., None] * self.p_limbs  # exact: < 2^32
-            carry = (t + (mp[..., 0] & MASK)) >> LIMB_BITS
+            mp = m[..., None, :] * self.p_limbs  # exact: < 2^32
+            carry = (t + (mp[..., 0, :] & MASK)) >> LIMB_BITS
             if L > 1:
-                cols = cols.at[..., i + 1 : i + L].add(mp[..., 1:] & MASK)
-            cols = cols.at[..., i + 1 : i + L + 1].add(mp >> LIMB_BITS)
+                cols = cols.at[..., i + 1 : i + L, :].add(mp[..., 1:, :] & MASK)
+            cols = cols.at[..., i + 1 : i + L + 1, :].add(mp >> LIMB_BITS)
         limbs = []
         for k in range(L, 2 * L + 1):
-            t = cols[..., k] + carry
+            t = cols[..., k, :] + carry
             limbs.append(t & MASK)
             carry = t >> LIMB_BITS
-        r = jnp.stack(limbs[:L], axis=-1)
+        r = jnp.stack(limbs[:L], axis=-2)
         return self._cond_sub_p(r, limbs[L])
 
     def to_mont(self, a):
@@ -171,7 +180,6 @@ class JaxField:
         )
 
         def body(i, acc):
-            # left-to-right square-and-multiply
             acc = self.mont_mul(acc, acc)
             bit = ebits[nbits - 1 - i]
             return jnp.where(bit, self.mont_mul(acc, a), acc)
@@ -191,21 +199,22 @@ class JaxField:
     # NORM-domain ops (comparisons, bit ops, shifts, booleans)
     # ------------------------------------------------------------------
     def _bit(self, cond):
-        """bool (...,) -> {0,1} field value in NORM limbs."""
-        z = jnp.zeros(cond.shape + (self.L,), jnp.uint32)
-        return z.at[..., 0].set(cond.astype(jnp.uint32))
+        """bool (..., B) -> {0,1} field value in NORM limbs (..., L, B)."""
+        z = jnp.zeros(cond.shape[:-1] + (self.L,) + cond.shape[-1:],
+                      jnp.uint32)
+        return z.at[..., 0, :].set(cond.astype(jnp.uint32))
 
     def is_zero(self, a):
-        return jnp.all(a == 0, axis=-1)
+        return jnp.all(a == 0, axis=-2)
 
     def as_bool(self, a):
-        return jnp.any(a != 0, axis=-1)
+        return jnp.any(a != 0, axis=-2)
 
     def eq(self, a, b):
-        return self._bit(jnp.all(a == b, axis=-1))
+        return self._bit(jnp.all(a == b, axis=-2))
 
     def neq(self, a, b):
-        return self._bit(jnp.any(a != b, axis=-1))
+        return self._bit(jnp.any(a != b, axis=-2))
 
     def _lt_signed(self, a, b):
         na, nb = self._is_neg(a), self._is_neg(b)
@@ -237,63 +246,71 @@ class JaxField:
 
     def bit_or(self, a, b):
         r = a | b  # < 2^bits <= 2p - 1
-        return self._cond_sub_p(r, jnp.zeros(r.shape[:-1], jnp.uint32))
+        return self._cond_sub_p(r, jnp.zeros(r.shape[:-2] + r.shape[-1:],
+                                             jnp.uint32))
 
     def bit_xor(self, a, b):
         r = a ^ b
-        return self._cond_sub_p(r, jnp.zeros(r.shape[:-1], jnp.uint32))
+        return self._cond_sub_p(r, jnp.zeros(r.shape[:-2] + r.shape[-1:],
+                                             jnp.uint32))
 
     def complement(self, a):
         """~a over p.bit_length() bits, mod p (modular_arithmetic.rs:94-109)."""
         r = a ^ self.mask_limbs
-        return self._cond_sub_p(r, jnp.zeros(r.shape[:-1], jnp.uint32))
+        return self._cond_sub_p(r, jnp.zeros(r.shape[:-2] + r.shape[-1:],
+                                             jnp.uint32))
 
     def shift_r_const(self, a, k: int):
         """a >> k, static k already wrap-normalized to [0, bits)."""
         L, q, r = self.L, k // LIMB_BITS, k % LIMB_BITS
-        z = jnp.zeros_like(a[..., 0])
+        z = jnp.zeros_like(a[..., 0, :])
         out = []
         for j in range(L):
-            lo = a[..., j + q] if j + q < L else z
-            hi = a[..., j + q + 1] if j + q + 1 < L else z
+            lo = a[..., j + q, :] if j + q < L else z
+            hi = a[..., j + q + 1, :] if j + q + 1 < L else z
             v = (lo >> r) | ((hi << (LIMB_BITS - r)) & MASK) if r else lo
             out.append(v)
-        return jnp.stack(out, axis=-1)
+        return jnp.stack(out, axis=-2)
 
     def shift_l_const(self, a, k: int):
         """(a << k) & mask, mod p; static k in [0, bits)."""
         L, q, r = self.L, k // LIMB_BITS, k % LIMB_BITS
-        z = jnp.zeros_like(a[..., 0])
+        z = jnp.zeros_like(a[..., 0, :])
         out = []
         for j in range(L):
-            lo = a[..., j - q] if j - q >= 0 else z
-            hi = a[..., j - q - 1] if j - q - 1 >= 0 else z
+            lo = a[..., j - q, :] if j - q >= 0 else z
+            hi = a[..., j - q - 1, :] if j - q - 1 >= 0 else z
             v = ((lo << r) & MASK) | (hi >> (LIMB_BITS - r)) if r else lo
             out.append(v)
-        res = jnp.stack(out, axis=-1) & self.mask_limbs
-        return self._cond_sub_p(res, jnp.zeros(res.shape[:-1], jnp.uint32))
+        res = jnp.stack(out, axis=-2) & self.mask_limbs
+        return self._cond_sub_p(res, jnp.zeros(res.shape[:-2] + res.shape[-1:],
+                                               jnp.uint32))
 
     def select(self, cond_val, a, b):
         """circom ?: — cond is a field value (NORM), picks a when nonzero."""
-        return jnp.where(self.as_bool(cond_val)[..., None], a, b)
+        return jnp.where(self.as_bool(cond_val)[..., None, :], a, b)
 
     def select_bool(self, cond, a, b):
-        return jnp.where(cond[..., None], a, b)
+        return jnp.where(cond[..., None, :], a, b)
 
     # host-side conversion helpers -------------------------------------
     def encode(self, values, mont=False):
-        """List of python ints -> (N, L) device-ready numpy array."""
+        """List of python ints -> (L, N) device-ready numpy array."""
         from .limbs import ints_to_limbs
 
         R = 1 << (LIMB_BITS * self.L)
         if mont:
             values = [(v * R) % self.p for v in values]
-        return ints_to_limbs(values, self.L)
+        return ints_to_limbs(values, self.L).T.copy()
 
     def decode(self, arr, mont=False):
-        from .limbs import limbs_to_ints
+        """(..., L, N) -> flat list of ints (over leading dims and N)."""
+        from .limbs import limbs_to_int
 
-        vals = limbs_to_ints(np.asarray(arr))
+        arr = np.asarray(arr)
+        arr = np.moveaxis(arr, -2, -1)  # (..., N, L)
+        flat = arr.reshape(-1, self.L)
+        vals = [limbs_to_int(row) for row in flat]
         if mont:
             Rinv = pow(1 << (LIMB_BITS * self.L), -1, self.p)
             vals = [(v * Rinv) % self.p for v in vals]

@@ -26,11 +26,11 @@ def make_mesh(n_devices=None, axis="batch"):
 def shard_program(program, mesh, axis="batch"):
     """Wrap a WitnessProgram into a pjit'ed fn with the batch dim sharded.
 
-    Input layout (n_inputs, batch, L): batch is dim 1.
-    Output layout (n_outputs, batch, L): batch is dim 1.
+    Input layout (n_inputs, L, batch): batch is dim 2 (minor/lane axis).
+    Output layout (n_witness, L, batch): batch is dim 2.
     """
-    in_sharding = NamedSharding(mesh, P(None, axis, None))
-    out_sharding = NamedSharding(mesh, P(None, axis, None))
+    in_sharding = NamedSharding(mesh, P(None, None, axis))
+    out_sharding = NamedSharding(mesh, P(None, None, axis))
     return jax.jit(
         program.jittable(),
         in_shardings=in_sharding,
@@ -39,8 +39,9 @@ def shard_program(program, mesh, axis="batch"):
 
 
 def shard_checker(check_fn, mesh, axis="batch"):
-    """R1CS checker sharded on batch; the final all-ok reduction is a
-    jnp.all over the sharded residual (XLA inserts the psum)."""
-    in_sharding = NamedSharding(mesh, P(axis, None))
+    """R1CS checker sharded on batch (z: (n_wires, L, batch)); the final
+    all-ok reduction is a jnp.all over the sharded residual (XLA inserts
+    the psum)."""
+    in_sharding = NamedSharding(mesh, P(None, None, axis))
     return jax.jit(check_fn, in_shardings=(in_sharding,),
                    out_shardings=NamedSharding(mesh, P()))

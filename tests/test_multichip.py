@@ -58,14 +58,13 @@ def test_sharded_witness_and_check():
     import jax.numpy as jnp
 
     def step(inputs):
-        wit = prog.jittable()(inputs)
-        z = jnp.swapaxes(wit, 0, 1)
-        return jnp.all(checker.check(z))
+        wit = prog.jittable()(inputs)      # (n_wires, L, batch)
+        return jnp.all(checker.check(wit))
 
     batch = 16
     vals = [(i * 7 + 1) % SPEC.p for i in range(batch)]
     arr = prog.encode_inputs([vals])
-    in_sh = NamedSharding(mesh, P(None, "batch", None))
+    in_sh = NamedSharding(mesh, P(None, None, "batch"))
     fn = jax.jit(step, in_shardings=in_sh,
                  out_shardings=NamedSharding(mesh, P()))
     arr = jax.device_put(arr, in_sh)
@@ -73,7 +72,7 @@ def test_sharded_witness_and_check():
 
     # per-element parity vs host
     out = jax.jit(prog.jittable(), in_shardings=in_sh,
-                  out_shardings=NamedSharding(mesh, P(None, "batch", None)))(arr)
+                  out_shardings=NamedSharding(mesh, P(None, None, "batch")))(arr)
     got = prog.decode_outputs(np.asarray(out))
     for b in range(batch):
         expect = cc.witness_host({"in": vals[b]})
