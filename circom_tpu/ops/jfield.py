@@ -121,7 +121,39 @@ class JaxField:
         return self.sub(jnp.broadcast_to(self.zero_limbs, a.shape), a)
 
     def mont_mul(self, a, b):
-        """(aR)(bR)R^-1 = abR mod p — vectorized CIOS over 16-bit limbs."""
+        """(aR)(bR)R^-1 = abR mod p — vectorized CIOS over 16-bit limbs.
+
+        Two tracings of the same algorithm:
+        * TPU: column accumulator as a Python LIST of (..., B) arrays —
+          every update is a fresh SSA value that XLA fuses into one kernel.
+          (A `cols.at[slice].add` accumulator forces the whole column
+          tensor through HBM on every partial product — measured ~50x
+          slower on TPU.)
+        * CPU (tests): array accumulator — ~6x smaller XLA graph; the CPU
+          backend's compile time explodes on the unrolled list form and
+          test runtime does not matter.
+        """
+        if jax.default_backend() == "tpu":
+            return self._mont_mul_list(a, b)
+        return self._mont_mul_array(a, b)
+
+    def _mont_mul_list(self, a, b):
+        L = self.L
+        a_l = [a[..., i, :] for i in range(L)]
+        b_l = [b[..., j, :] for j in range(L)]
+        cols = [None] * (2 * L + 1)
+
+        def acc(k, v):
+            cols[k] = v if cols[k] is None else cols[k] + v
+
+        for i in range(L):
+            for j in range(L):
+                prod = a_l[i] * b_l[j]  # exact: < 2^32
+                acc(i + j, prod & MASK)
+                acc(i + j + 1, prod >> LIMB_BITS)
+        return self._mont_reduce_list(cols)
+
+    def _mont_mul_array(self, a, b):
         L = self.L
         shape = jnp.broadcast_shapes(a.shape, b.shape)
         lead, B = shape[:-2], shape[-1]
@@ -130,14 +162,9 @@ class JaxField:
             prod = a[..., i : i + 1, :] * b  # exact: < 2^32
             cols = cols.at[..., i : i + L, :].add(prod & MASK)
             cols = cols.at[..., i + 1 : i + L + 1, :].add(prod >> LIMB_BITS)
-        return self.mont_reduce_cols(cols)
+        return self._mont_reduce_array(cols)
 
-    def mont_reduce_cols(self, cols):
-        """Montgomery-reduce a wide column accumulator: value V (given as
-        2L+1 uint32 columns, each < ~2^22, V < R*p) -> V*R^-1 mod p.
-
-        This is the tail of CIOS; also used to fold wide segment sums in
-        the R1CS checker (backend/checker.py)."""
+    def _mont_reduce_array(self, cols):
         L = self.L
         shape = cols.shape[:-2] + cols.shape[-1:]
         carry = jnp.zeros(shape, jnp.uint32)
@@ -147,7 +174,8 @@ class JaxField:
             mp = m[..., None, :] * self.p_limbs  # exact: < 2^32
             carry = (t + (mp[..., 0, :] & MASK)) >> LIMB_BITS
             if L > 1:
-                cols = cols.at[..., i + 1 : i + L, :].add(mp[..., 1:, :] & MASK)
+                cols = cols.at[..., i + 1 : i + L, :].add(
+                    mp[..., 1:, :] & MASK)
             cols = cols.at[..., i + 1 : i + L + 1, :].add(mp >> LIMB_BITS)
         limbs = []
         for k in range(L, 2 * L + 1):
@@ -155,6 +183,49 @@ class JaxField:
             limbs.append(t & MASK)
             carry = t >> LIMB_BITS
         r = jnp.stack(limbs[:L], axis=-2)
+        return self._cond_sub_p(r, limbs[L])
+
+    def mont_reduce_cols(self, cols):
+        """Array form of the CIOS reduction tail (used by the R1CS checker
+        on wide segment sums): uint32 (..., <=2L+1, B) columns, each
+        < ~2^22, value V < R*p  ->  V*R^-1 mod p."""
+        if jax.default_backend() == "tpu":
+            n = cols.shape[-2]
+            return self._mont_reduce_list(
+                [cols[..., k, :] for k in range(n)])
+        if cols.shape[-2] < 2 * self.L + 1:
+            pad = jnp.zeros(
+                cols.shape[:-2] + (2 * self.L + 1 - cols.shape[-2],)
+                + cols.shape[-1:], jnp.uint32)
+            cols = jnp.concatenate([cols, pad], axis=-2)
+        return self._mont_reduce_array(cols)
+
+    def _mont_reduce_list(self, cols):
+        L = self.L
+        p_l = [int(x) for x in self.p_limbs[:, 0]]
+        zero = jnp.zeros((), jnp.uint32)
+        cols = [c if c is not None else zero for c in cols]
+        while len(cols) < 2 * L + 1:
+            cols.append(zero)
+        carry = zero
+        for i in range(L):
+            t = cols[i] + carry
+            m = (t * self.n0inv) & MASK
+            prod0 = m * np.uint32(p_l[0])  # exact: < 2^32
+            carry = (t + (prod0 & MASK)) >> LIMB_BITS
+            cols[i + 1] = cols[i + 1] + (prod0 >> LIMB_BITS)
+            for j in range(1, L):
+                pr = m * np.uint32(p_l[j])
+                cols[i + j] = cols[i + j] + (pr & MASK)
+                cols[i + j + 1] = cols[i + j + 1] + (pr >> LIMB_BITS)
+        limbs = []
+        for k in range(L, 2 * L + 1):
+            t = cols[k] + carry
+            limbs.append(t & MASK)
+            carry = t >> LIMB_BITS
+        r = jnp.stack(
+            [jnp.broadcast_to(x, limbs[0].shape) for x in limbs[:L]],
+            axis=-2)
         return self._cond_sub_p(r, limbs[L])
 
     def to_mont(self, a):
