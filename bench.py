@@ -13,6 +13,8 @@ import json
 import sys
 import time
 
+import numpy as np
+
 BASELINE_CPU_WITNESSES_PER_SEC = 25_000.0
 
 
@@ -73,17 +75,23 @@ def main():
     for batch in batches:
         cols = [[rng.randrange(p) for _ in range(batch)]
                 for _ in range(prog.n_inputs)]
-        arr = prog.encode_inputs(cols)
+        arr = jax.device_put(prog.encode_inputs(cols))
+        jax.block_until_ready(arr)
         t0 = time.time()
         out = prog.run(arr)
         jax.block_until_ready(out)
         print(f"# batch {batch}: first run (jit) {time.time()-t0:.2f}s",
               file=sys.stderr)
         if not checked:
-            # correctness spot check vs the host calculator
-            got = prog.decode_outputs(out[:, :, :1])
+            # correctness spot check vs the host calculator (fetch one
+            # witness column via a jitted gather: eager slicing of the
+            # big result through the axon relay can wedge)
+            col0 = jax.jit(lambda o: o[:, :, 0])(out)
+            got = np.asarray(col0)
+            from circom_tpu.ops.limbs import limbs_to_int
+
+            actual = [limbs_to_int(got[i]) for i in range(got.shape[0])]
             expect = cc.witness_host({"inputs": [cols[0][0], cols[1][0]]})
-            actual = [got[i][0] for i in range(len(got))]
             assert actual == expect, "TPU witness mismatch vs host calculator"
             checked = True
         reps = 3 if platform == "cpu" else 10
