@@ -83,16 +83,17 @@ def main():
         print(f"# batch {batch}: first run (jit) {time.time()-t0:.2f}s",
               file=sys.stderr)
         if not checked:
-            # correctness spot check vs the host calculator (fetch one
-            # witness column via a jitted gather: eager slicing of the
-            # big result through the axon relay can wedge)
-            col0 = jax.jit(lambda o: o[:, :, 0])(out)
-            got = np.asarray(col0)
-            from circom_tpu.ops.limbs import limbs_to_int
+            # correctness spot check vs the host calculator, compared ON
+            # DEVICE (fetching big arrays through the axon relay can
+            # wedge); only a scalar bool comes back.
+            from circom_tpu.ops.limbs import ints_to_limbs
 
-            actual = [limbs_to_int(got[i]) for i in range(got.shape[0])]
             expect = cc.witness_host({"inputs": [cols[0][0], cols[1][0]]})
-            assert actual == expect, "TPU witness mismatch vs host calculator"
+            exp_dev = jax.device_put(
+                np.asarray(ints_to_limbs(expect, prog.jf.L)))
+            ok = jax.jit(
+                lambda o, e: (o[:, :, 0] == e.T).all())(out, exp_dev)
+            assert bool(ok), "TPU witness mismatch vs host calculator"
             checked = True
         reps = 3 if platform == "cpu" else 10
         t0 = time.time()

@@ -134,7 +134,7 @@ class DomainTape:
 class WitnessProgram:
     """Executable form of a tape for one field."""
 
-    def __init__(self, tape: Tape, spec: FieldSpec, unroll_threshold=256,
+    def __init__(self, tape: Tape, spec: FieldSpec, unroll_threshold=4096,
                  slots=8):
         for op in set(tape.ops):
             if op in _UNSUPPORTED_JAX:
@@ -147,8 +147,14 @@ class WitnessProgram:
         self.dt = DomainTape(tape)
         self.n_inputs = tape.n_inputs
         self.slots = max(1, slots)
+        # straight-line SSA emission for small/medium tapes: field ops are
+        # single fused Pallas kernels on TPU, XLA keeps buffers in place
+        # (loop-carried register files force whole-buffer copies per step).
         self.unroll = len(self.dt.ops) <= unroll_threshold
-        self._schedule_and_allocate()
+        if not self.unroll:
+            self._schedule_and_allocate()
+        else:
+            self.n_steps = 0
         self._jit = None
 
     # -- schedule: pack same-(level, opcode) nodes into vector steps -----
@@ -375,12 +381,92 @@ class WitnessProgram:
             rf = rf.at[regs].set(inputs[idxs])
         return rf
 
+    def _run_ssa(self, inputs):
+        """Straight-line per-node emission: values are SSA jnp arrays,
+        muls/adds/subs are single Pallas kernels on TPU."""
+        jf = self.jf
+        dt = self.dt
+        batch = inputs.shape[2]
+        L = jf.L
+        from ..ops.limbs import int_to_limbs
+
+        R = 1 << (LIMB_BITS * L)
+        vals = {}
+        for i, op in enumerate(dt.ops):
+            args = dt.args[i]
+            imm = dt.imms[i]
+            if op == "const":
+                v = imm if dt.domains[i] != MONT else (imm * R) % jf.p
+                vals[i] = np.asarray(int_to_limbs(v, L))[:, None]
+            elif op == "input":
+                vals[i] = inputs[imm]
+            elif op == "mul":
+                vals[i] = jf.mont_mul(vals[args[0]], vals[args[1]])
+            elif op == "add":
+                vals[i] = jf.add(vals[args[0]], vals[args[1]])
+            elif op == "sub":
+                vals[i] = jf.sub(vals[args[0]], vals[args[1]])
+            elif op == "neg":
+                vals[i] = jf.neg(vals[args[0]])
+            elif op == "div":
+                vals[i] = jf.div_mont(vals[args[0]], vals[args[1]])
+            elif op == "to_mont":
+                vals[i] = jf.to_mont(vals[args[0]])
+            elif op == "from_mont":
+                vals[i] = jf.from_mont(vals[args[0]])
+            elif op == "pow_k":
+                vals[i] = jf.pow_mont(vals[args[0]], imm)
+            elif op == "shl_k":
+                vals[i] = jf.shift_l_const(vals[args[0]], imm)
+            elif op == "shr_k":
+                vals[i] = jf.shift_r_const(vals[args[0]], imm)
+            elif op == "select":
+                vals[i] = jf.select(vals[args[0]], vals[args[1]],
+                                    vals[args[2]])
+            elif op == "band":
+                vals[i] = jf.bit_and(vals[args[0]], vals[args[1]])
+            elif op == "bor":
+                vals[i] = jf.bit_or(vals[args[0]], vals[args[1]])
+            elif op == "bxor":
+                vals[i] = jf.bit_xor(vals[args[0]], vals[args[1]])
+            elif op == "bnot":
+                vals[i] = jf.complement(vals[args[0]])
+            elif op == "lt":
+                vals[i] = jf.lt(vals[args[0]], vals[args[1]])
+            elif op == "le":
+                vals[i] = jf.le(vals[args[0]], vals[args[1]])
+            elif op == "gt":
+                vals[i] = jf.gt(vals[args[0]], vals[args[1]])
+            elif op == "ge":
+                vals[i] = jf.ge(vals[args[0]], vals[args[1]])
+            elif op == "eq":
+                vals[i] = jf.eq(vals[args[0]], vals[args[1]])
+            elif op == "neq":
+                vals[i] = jf.neq(vals[args[0]], vals[args[1]])
+            elif op == "land":
+                vals[i] = jf.bool_and(vals[args[0]], vals[args[1]])
+            elif op == "lor":
+                vals[i] = jf.bool_or(vals[args[0]], vals[args[1]])
+            elif op == "lnot":
+                vals[i] = jf.bool_not(vals[args[0]])
+            else:
+                raise NotImplementedError(op)
+        outs = []
+        for o in dt.outputs:
+            v = vals[o]
+            if isinstance(v, np.ndarray) or v.shape[-1] != batch:
+                v = jnp.broadcast_to(v, (self.jf.L, batch))
+            outs.append(v)
+        return jnp.stack(outs)
+
     def _run(self, inputs):
         """inputs: uint32 (n_inputs, L, batch) -> (n_witness, L, batch)."""
+        if self.unroll:
+            return self._run_ssa(inputs)
         rf = self._init_regfile(inputs)
         opc, a_i, b_i, c_i, o_i, w_i, imm = self.tables
         branches = [self._branch(op) for op in self.branch_ops]
-        if self.unroll:
+        if False:
             # outputs are collected as produced: registers are reused
             # after a value's last consumer, so out_regs can be stale.
             outvals = {}

@@ -103,10 +103,32 @@ class JaxField:
     # ring ops (domain-agnostic: work in both MONT and NORM)
     # ------------------------------------------------------------------
     def add(self, a, b):
+        if jax.default_backend() == "tpu":
+            B = jnp.broadcast_shapes(a.shape, b.shape)[-1]
+            if B % 8 == 0:
+                return self._pallas_binop("add")(a, b)
         limbs, carry = self._carry16(a + b)
         return self._cond_sub_p(limbs, carry)
 
+    def _pallas_binop(self, which):
+        cache = getattr(self, "_pallas_cache", None)
+        if cache is None:
+            cache = self._pallas_cache = {}
+        if which not in cache:
+            from .pallas_field import make_add, make_sub
+
+            cache[which] = (make_add if which == "add" else make_sub)(
+                self.spec)
+        return cache[which]
+
     def sub(self, a, b):
+        if jax.default_backend() == "tpu":
+            B = jnp.broadcast_shapes(a.shape, b.shape)[-1]
+            if B % 8 == 0:
+                return self._pallas_binop("sub")(a, b)
+        return self._sub_xla(a, b)
+
+    def _sub_xla(self, a, b):
         v = (a + self.p_limbs).astype(jnp.int32) - b.astype(jnp.int32)
         carry = jnp.zeros(v.shape[:-2] + v.shape[-1:], jnp.int32)
         limbs = []
@@ -134,8 +156,24 @@ class JaxField:
           test runtime does not matter.
         """
         if jax.default_backend() == "tpu":
+            B = jnp.broadcast_shapes(a.shape, b.shape)[-1]
+            if B % 8 == 0:
+                return self._pallas_mm(a, b)
             return self._mont_mul_list(a, b)
         return self._mont_mul_array(a, b)
+
+    @property
+    def _pallas_mm(self):
+        """Fused Pallas CIOS kernel — the production TPU multiply
+        (ops/pallas_field.py); XLA fails to fuse the ~1500-op unrolled
+        chain and spills intermediates to HBM (~30x slower)."""
+        fn = getattr(self, "_pallas_mm_fn", None)
+        if fn is None:
+            from .pallas_field import make_mont_mul
+
+            fn = make_mont_mul(self.spec)
+            self._pallas_mm_fn = fn
+        return fn
 
     def _mont_mul_list(self, a, b):
         L = self.L

@@ -126,4 +126,95 @@ def make_mont_mul(spec: FieldSpec, block_b: int = 1024,
         r = call4d(a4, b4)
         return r.reshape(shape)
 
-    return fn
+    # jit so the kernel traces once per shape and every call site reuses
+    # the cached pjit (1500 inline retraces take minutes)
+    return jax.jit(fn)
+
+
+def _elemwise_call(kernel, interp, block_b):
+    def call4d(a, b):
+        N, L_, _s, B8 = a.shape
+        bb = min(block_b // 8, B8)
+        grid = (N, pl.cdiv(B8, bb))
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((N, L_, 8, B8), jnp.uint32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, L_, 8, bb), lambda s, g: (s, 0, 0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, L_, 8, bb), lambda s, g: (s, 0, 0, g),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, L_, 8, bb), lambda s, g: (s, 0, 0, g),
+                                   memory_space=pltpu.VMEM),
+            interpret=interp,
+        )(a, b)
+
+    def fn(a, b):
+        a = jnp.asarray(a, jnp.uint32)
+        b = jnp.asarray(b, jnp.uint32)
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
+        a4 = a.reshape((-1, shape[-2], 8, shape[-1] // 8))
+        b4 = b.reshape((-1, shape[-2], 8, shape[-1] // 8))
+        return call4d(a4, b4).reshape(shape)
+
+    return jax.jit(fn)
+
+
+def make_add(spec: FieldSpec, block_b: int = 1024,
+             interpret: bool | None = None):
+    """Fused modular add kernel: a + b mod p over (..., L, B) uint32."""
+    c = _consts(spec)
+    L = c["L"]
+    p_list = [int(x) for x in np.asarray(c["p_limbs"], np.uint32)]
+
+    def kernel(a_ref, b_ref, o_ref):
+        carry = jnp.zeros_like(a_ref[0, 0])
+        limbs = []
+        for i in range(L):
+            t = a_ref[0, i] + b_ref[0, i] + carry
+            limbs.append(t & MASK)
+            carry = t >> LIMB_BITS
+        _cond_sub_store(o_ref, limbs, carry, p_list, L)
+
+    interp = (jax.default_backend() != "tpu") if interpret is None \
+        else interpret
+    return _elemwise_call(kernel, interp, block_b)
+
+
+def make_sub(spec: FieldSpec, block_b: int = 1024,
+             interpret: bool | None = None):
+    """Fused modular subtract kernel: a - b mod p (adds p, cond-subtracts)."""
+    c = _consts(spec)
+    L = c["L"]
+    p_list = [int(x) for x in np.asarray(c["p_limbs"], np.uint32)]
+
+    def kernel(a_ref, b_ref, o_ref):
+        carry = jnp.zeros_like(a_ref[0, 0], dtype=jnp.int32)
+        limbs = []
+        for i in range(L):
+            v = (a_ref[0, i] + np.uint32(p_list[i])).astype(jnp.int32) \
+                - b_ref[0, i].astype(jnp.int32) + carry
+            limbs.append((v & MASK).astype(jnp.uint32))
+            carry = v >> LIMB_BITS
+        _cond_sub_store(o_ref, limbs, carry.astype(jnp.uint32), p_list, L)
+
+    interp = (jax.default_backend() != "tpu") if interpret is None \
+        else interpret
+    return _elemwise_call(kernel, interp, block_b)
+
+
+def _cond_sub_store(o_ref, limbs, top, p_list, L):
+    """Write limbs (+ top overflow, value < 2p) canonically to o_ref."""
+    borrow = jnp.zeros_like(limbs[0], dtype=jnp.int32)
+    subbed = []
+    for i in range(L):
+        v = limbs[i].astype(jnp.int32) - np.int32(p_list[i]) - borrow
+        subbed.append((v & MASK).astype(jnp.uint32))
+        borrow = -(v >> LIMB_BITS)
+    take = (top.astype(jnp.int32) - borrow) >= 0
+    for i in range(L):
+        o_ref[0, i] = jnp.where(take, subbed[i], limbs[i])
