@@ -151,6 +151,7 @@ class WitnessProgram:
         # single fused Pallas kernels on TPU, XLA keeps buffers in place
         # (loop-carried register files force whole-buffer copies per step).
         self.unroll = len(self.dt.ops) <= unroll_threshold
+        self.n_witness = len(self.dt.outputs)
         if not self.unroll:
             self._schedule_and_allocate()
         else:
