@@ -75,17 +75,13 @@ def main():
     from circom_tpu.ops.limbs import ints_to_limbs
 
     staged = []
-    checked = False
     for batch in batches:
         cols = [[rng.randrange(p) for _ in range(batch)]
                 for _ in range(prog.n_inputs)]
         arr = jax.device_put(prog.encode_inputs(cols))
-        exp_dev = None
-        if not checked:
-            expect = cc.witness_host({"inputs": [cols[0][0], cols[1][0]]})
-            exp_dev = jax.device_put(
-                np.asarray(ints_to_limbs(expect, prog.jf.L)))
-            checked = True
+        expect = cc.witness_host({"inputs": [cols[0][0], cols[1][0]]})
+        exp_dev = jax.device_put(
+            np.asarray(ints_to_limbs(expect, prog.jf.L)))
         staged.append((batch, arr, exp_dev))
     jax.block_until_ready([a for (_b, a, _e) in staged])
 
@@ -93,7 +89,7 @@ def main():
     # BEFORE the first execution: compile RPCs issued after a large
     # program has run can wedge the axon relay.
     compiled = {}
-    check_fn = None
+    check_fn = {}
     for (batch, arr, exp_dev) in staged:
         lowered = jax.jit(prog.jittable()).lower(
             jax.ShapeDtypeStruct(arr.shape, arr.dtype))
@@ -116,9 +112,8 @@ def main():
         jax.block_until_ready(out)
         print(f"# batch {batch}: first run {time.time()-t0:.2f}s",
               file=sys.stderr)
-        if exp_dev is not None:
-            ok = check_fn(out, exp_dev)
-            assert bool(ok), "TPU witness mismatch vs host calculator"
+        ok = check_fn[batch](out, exp_dev)
+        assert bool(ok), f"TPU witness mismatch at batch {batch}"
         reps = 3 if platform == "cpu" else 10
         t0 = time.time()
         for _ in range(reps):

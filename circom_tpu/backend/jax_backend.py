@@ -467,26 +467,6 @@ class WitnessProgram:
         rf = self._init_regfile(inputs)
         opc, a_i, b_i, c_i, o_i, w_i, imm = self.tables
         branches = [self._branch(op) for op in self.branch_ops]
-        if False:
-            # outputs are collected as produced: registers are reused
-            # after a value's last consumer, so out_regs can be stale.
-            outvals = {}
-            for (reg, positions) in self.load_outputs:
-                for d in positions:
-                    outvals[d] = rf[reg]
-            for si in range(self.n_steps):
-                fa, fb, fc = rf[a_i[si]], rf[b_i[si]], rf[c_i[si]]
-                res = branches[int(opc[si])](fa, fb, fc,
-                                             jnp.asarray(imm[si], jnp.uint32))
-                rf = rf.at[o_i[si]].set(res)
-                for sj in range(res.shape[0]):
-                    pos = int(w_i[si, sj])
-                    if pos < self.n_witness:
-                        outvals[pos] = res[sj]
-            for (src_pos, dst_pos) in self.out_dups:
-                outvals[dst_pos] = outvals[src_pos]
-            return jnp.stack([outvals[k] for k in range(self.n_witness)])
-
         # witness stream buffer (+1 trash row); step results land directly
         # here, so the register file only holds live dataflow values.
         batch, L = inputs.shape[2], self.jf.L
