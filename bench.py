@@ -94,14 +94,13 @@ def main():
         lowered = jax.jit(prog.jittable()).lower(
             jax.ShapeDtypeStruct(arr.shape, arr.dtype))
         compiled[batch] = lowered.compile()
-        if exp_dev is not None and check_fn is None:
-            n_wit = prog.n_witness if hasattr(prog, "n_witness") else                 len(prog.dt.outputs)
-            out_aval = jax.ShapeDtypeStruct(
-                (n_wit, prog.jf.L, batch), arr.dtype)
-            check_fn = jax.jit(
-                lambda o, e: (o[:, :, 0] == e).all()).lower(
-                    out_aval, jax.ShapeDtypeStruct(exp_dev.shape,
-                                                   exp_dev.dtype)).compile()
+        n_wit = prog.n_witness
+        out_aval = jax.ShapeDtypeStruct(
+            (n_wit, prog.jf.L, batch), arr.dtype)
+        check_fn[batch] = jax.jit(
+            lambda o, e: (o[:, :, 0] == e).all()).lower(
+                out_aval, jax.ShapeDtypeStruct(exp_dev.shape,
+                                               exp_dev.dtype)).compile()
     print("# all programs compiled ahead of time", file=sys.stderr)
 
     best = 0.0
