@@ -855,13 +855,67 @@ class Executor:
 
     def _assign_var(self, s, frame):
         slc = frame.lookup_var(s.var)
-        idxs = []
+        idx_vals = []
+        dynamic = False
         for a in s.access:
             if not isinstance(a, A.ArrayAccess):
                 raise err("invalid access on var", "T2033", s.meta)
-            idxs.append(self._index_value(self._eval(a.expr, frame), s.meta))
+            v = self._scalar(self._eval(a.expr, frame), s.meta)
+            idx_vals.append(v)
+            if self.domain.known_int(v) is None:
+                dynamic = True
         value = self._eval(s.rhe, frame)
-        slc.set(idxs, value, s.meta)
+        if not dynamic:
+            slc.set([self.domain.known_int(v) for v in idx_vals], value,
+                    s.meta)
+            return
+        # witness-dependent index: predicated write over every element
+        # (the reference's generated code does runtime addressing;
+        # compile-time flattening uses selects)
+        if frame.unknown_depth:
+            raise err("dynamic index inside unknown condition", "T2041",
+                      s.meta)
+        lin = self._linear_index(idx_vals, slc.dims, s.meta)
+        if isinstance(value, Slice):
+            raise err("dynamic-index array assignment must be scalar",
+                      "T2019", s.meta)
+        for j in range(slc.size()):
+            old = slc.values[j]
+            if old is None:
+                continue
+            cond = self.domain.infix(A.EQ, lin, self.domain.const(j),
+                                     s.meta)
+            slc.values[j] = self.domain.select(cond, value, old)
+
+    def _linear_index(self, idx_vals, dims, meta):
+        """Row-major flat index as a domain value (some indices unknown)."""
+        if len(idx_vals) != len(dims):
+            raise err("dynamic access must use all indices", "T2018", meta)
+        strides = []
+        s = 1
+        for d in reversed(dims):
+            strides.append(s)
+            s *= d
+        strides.reverse()
+        acc = self.domain.const(0)
+        for v, st in zip(idx_vals, strides):
+            acc = self.domain.infix(
+                A.ADD, acc,
+                self.domain.infix(A.MUL, v, self.domain.const(st), meta),
+                meta)
+        return acc
+
+    def _read_var_dynamic(self, slc, idx_vals, frame, meta):
+        lin = self._linear_index(idx_vals, slc.dims, meta)
+        vals = slc.values
+        if any(x is None for x in vals):
+            raise err("dynamic read of partially-unassigned array",
+                      "T2005", meta)
+        acc = vals[-1]
+        for j in range(len(vals) - 2, -1, -1):
+            cond = self.domain.infix(A.EQ, lin, self.domain.const(j), meta)
+            acc = self.domain.select(cond, vals[j], acc)
+        return acc
 
     def _source_tags(self, rhe, frame):
         """Tags carried by a DIRECT signal-to-signal assignment RHS
@@ -1469,12 +1523,18 @@ class Executor:
             return self._read_component(e, frame)
         v = frame.lookup_var(name)
         if v is not None:
-            idxs = []
+            idx_vals = []
+            dynamic = False
             for a in e.access:
                 if not isinstance(a, A.ArrayAccess):
                     raise err("invalid access on var", "T2033", e.meta)
-                idxs.append(self._index_value(self._eval(a.expr, frame),
-                                              e.meta))
+                iv = self._scalar(self._eval(a.expr, frame), e.meta)
+                idx_vals.append(iv)
+                if self.domain.known_int(iv) is None:
+                    dynamic = True
+            if dynamic:
+                return self._read_var_dynamic(v, idx_vals, frame, e.meta)
+            idxs = [self.domain.known_int(iv) for iv in idx_vals]
             got = v.get(idxs, e.meta)
             if isinstance(got, Slice):
                 return got

@@ -161,3 +161,51 @@ component main = T();
 
 def test_tape_data_dependent_select():
     run_batched(TERNARY_WITNESS, [{"in": 4}, {"in": 25}])
+
+
+DYNAMIC_INDEX = """
+pragma circom 2.0.0;
+function pick(arr, i) {
+    return arr[i];
+}
+template T(n) {
+    signal input sel;
+    signal input vals[n];
+    signal output out;
+    var copy[n];
+    for (var i = 0; i < n; i++) { copy[i] = vals[i]; }
+    out <-- pick(copy, sel);
+    out === out;
+}
+component main = T(4);
+"""
+
+
+def test_dynamic_array_index():
+    run_batched(DYNAMIC_INDEX, [
+        {"sel": 0, "vals": [10, 20, 30, 40]},
+        {"sel": 3, "vals": [10, 20, 30, 40]},
+        {"sel": 2, "vals": [5, 6, 7, 8]},
+    ])
+
+
+DYNAMIC_WRITE = """
+pragma circom 2.0.0;
+function mark(i, n) {
+    var flags[8];
+    for (var j = 0; j < n; j++) { flags[j] = 100 + j; }
+    flags[i] = 999;
+    return flags[i % n] + flags[(i + 1) % n];
+}
+template T() {
+    signal input sel;
+    signal output out;
+    out <-- mark(sel, 8);
+    out === out;
+}
+component main = T();
+"""
+
+
+def test_dynamic_array_write():
+    run_batched(DYNAMIC_WRITE, [{"sel": 2}, {"sel": 7}, {"sel": 0}])
