@@ -155,7 +155,10 @@ def main(argv=None):
 
     if args.witness:
         try:
-            inputs = load_inputs(args.witness, cc.p)
+            from .emit.inputs import prepare_main_inputs
+
+            inputs = prepare_main_inputs(
+                cc, load_inputs(args.witness, cc.p))
             w = cc.witness_host(inputs, sanity_check=args.sanity_check)
         except (Report, ReportCollection) as r:
             _print_reports(r, cc.archive.file_library)

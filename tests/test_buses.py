@@ -243,3 +243,24 @@ component main = Main();
     cc = compile_source(src)
     w = cc.witness_host({"x": 3})
     assert w[1] == 24  # 3 * 8
+
+
+def test_bus_json_input_qualification(tmp_path):
+    """Dot-path and nested-dict bus inputs (witness_calculator.js
+    qualification)."""
+    import json
+
+    from circom_tpu.emit.inputs import load_inputs, prepare_main_inputs
+
+    cc = compile_source(POINT)
+    # nested dict form
+    raw = load_inputs({"p": {"x": 1, "y": 2},
+                       "delta": {"x": 10, "y": 20}}, cc.p)
+    inputs = prepare_main_inputs(cc, raw)
+    w = cc.witness_host(inputs)
+    assert w[1:3] == [11, 22]
+    # dot-path form
+    raw2 = load_inputs({"p.x": 1, "p.y": 2, "delta.x": 10, "delta.y": 20},
+                       cc.p)
+    inputs2 = prepare_main_inputs(cc, raw2)
+    assert cc.witness_host(inputs2) == w
