@@ -88,8 +88,11 @@ def main():
     # AOT-compile everything (witness program per batch + the checker)
     # BEFORE the first execution: compile RPCs issued after a large
     # program has run can wedge the axon relay.
+    import jax.numpy as jnp
+
     compiled = {}
     check_fn = {}
+    sync_fn = {}
     for (batch, arr, exp_dev) in staged:
         lowered = jax.jit(prog.jittable()).lower(
             jax.ShapeDtypeStruct(arr.shape, arr.dtype))
@@ -101,6 +104,12 @@ def main():
             lambda o, e: (o[:, :, 0] == e).all()).lower(
                 out_aval, jax.ShapeDtypeStruct(exp_dev.shape,
                                                exp_dev.dtype)).compile()
+        # scalar reducer over the whole witness: np.asarray of its
+        # output is the only reliable sync point through the axon relay
+        # (block_until_ready returns before the device queue drains).
+        sync_fn[batch] = jax.jit(
+            lambda o: o[:, 0, :].astype(jnp.uint32).sum()).lower(
+                out_aval).compile()
     print("# all programs compiled ahead of time", file=sys.stderr)
 
     best = 0.0
@@ -108,7 +117,7 @@ def main():
         run_fn = compiled[batch]
         t0 = time.time()
         out = run_fn(arr)
-        jax.block_until_ready(out)
+        np.asarray(sync_fn[batch](out))
         print(f"# batch {batch}: first run {time.time()-t0:.2f}s",
               file=sys.stderr)
         ok = check_fn[batch](out, exp_dev)
@@ -117,7 +126,9 @@ def main():
         t0 = time.time()
         for _ in range(reps):
             out = run_fn(arr)
-        jax.block_until_ready(out)
+        # the device executes programs in order: forcing the last run's
+        # reduction forces them all
+        np.asarray(sync_fn[batch](out))
         dt = (time.time() - t0) / reps
         wps = batch / dt
         best = max(best, wps)

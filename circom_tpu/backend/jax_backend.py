@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..field.primes import LIMB_BITS, FieldSpec
-from ..ops.jfield import MASK, JaxField
+from ..ops.jfield import MASK, JaxField, on_tpu
 from .tape import OPS, Tape
 
 MONT = 0
@@ -135,7 +135,7 @@ class WitnessProgram:
     """Executable form of a tape for one field."""
 
     def __init__(self, tape: Tape, spec: FieldSpec, unroll_threshold=4096,
-                 slots=8):
+                 slots=8, mode="auto"):
         for op in set(tape.ops):
             if op in _UNSUPPORTED_JAX:
                 raise NotImplementedError(
@@ -147,6 +147,29 @@ class WitnessProgram:
         self.dt = DomainTape(tape)
         self.n_inputs = tape.n_inputs
         self.slots = max(1, slots)
+        # fused-Pallas paths (production TPU backends): the in-kernel
+        # interpreter (backend/interp.py, O(1) compile in circuit size)
+        # first, unrolled segments (backend/segments.py, small tapes
+        # incl. static shifts) second; per-op/scan paths remain as
+        # fallbacks and as the CPU test path.
+        self._mode = mode
+        self.fused = None
+        if mode in ("auto", "interp"):
+            try:
+                from .interp import InterpreterProgram
+
+                self.fused = InterpreterProgram(self.dt, spec)
+            except NotImplementedError:
+                if mode == "interp":
+                    raise
+        if self.fused is None and mode in ("auto", "segments"):
+            try:
+                from .segments import SegmentedProgram
+
+                self.fused = SegmentedProgram(self.dt, spec)
+            except NotImplementedError:
+                if mode == "segments":
+                    raise
         # straight-line SSA emission for small/medium tapes: field ops are
         # single fused Pallas kernels on TPU, XLA keeps buffers in place
         # (loop-carried register files force whole-buffer copies per step).
@@ -462,6 +485,10 @@ class WitnessProgram:
 
     def _run(self, inputs):
         """inputs: uint32 (n_inputs, L, batch) -> (n_witness, L, batch)."""
+        if self.fused is not None and (
+                self._mode in ("segments", "interp")
+                or on_tpu()):
+            return self.fused._run(inputs)
         if self.unroll:
             return self._run_ssa(inputs)
         rf = self._init_regfile(inputs)

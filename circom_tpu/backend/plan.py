@@ -1,0 +1,165 @@
+"""Shared planning for the fused TPU backends.
+
+Expands a jax_backend.DomainTape into a flat op list suitable for
+straight-line limb kernels:
+
+* `div` becomes Fermat inversion a^(p-2) as a static square-and-multiply
+  mul chain (modular_arithmetic.rs `div` = mul by inverse);
+* `pow_k` becomes a static mul chain;
+* `neg` becomes `sub(0, a)`;
+* `to_mont` / `from_mont` become muls by R^2 / 1 (zero limbs of the
+  constant are skipped at kernel-emission time);
+* ops whose operands are all constants fold on the host with reference
+  semantics (Montgomery-domain muls fold as a*b*R^-1 on raw values,
+  which is domain-correct);
+* dead code is eliminated (witness outputs are the only roots).
+
+Constants are tracked as *raw limb values* (already in the domain the
+node carries), so downstream backends can inline them as immediates.
+"""
+
+from ..field.primes import LIMB_BITS, FieldSpec
+
+MONT, NORM = 0, 1  # must match jax_backend.DomainTape
+
+
+class UnsupportedTapeOp(NotImplementedError):
+    pass
+
+
+# ops that survive planning (everything else is expanded or folded)
+KERNEL_OPS = {
+    "mul", "add", "sub", "select",
+    "eq", "neq", "lt", "le", "gt", "ge",
+    "land", "lor", "lnot",
+    "band", "bor", "bxor", "bnot",
+    "shl_k", "shr_k",
+}
+
+
+class ExpandedTape:
+    """Flat post-expansion program over raw limb values."""
+
+    __slots__ = ("ops", "args", "imms", "kind", "cval", "iidx",
+                 "out_ids", "live", "n_inputs", "L", "p", "R", "Rinv")
+
+    def __init__(self, dtape, spec: FieldSpec):
+        from ..field.hostfield import HostField
+
+        self.L = spec.n_limbs
+        self.p = spec.p
+        self.R = 1 << (LIMB_BITS * self.L)
+        self.Rinv = pow(self.R, -1, self.p)
+        self.n_inputs = dtape.n_inputs
+        hf = HostField(spec)
+
+        ops, args, imms = [], [], []
+        kind, cval, iidx = [], [], []
+        const_ids, cse = {}, {}
+
+        def push(op, a=(), imm=None, k="compute", v=None, ii=None):
+            nid = len(ops)
+            ops.append(op)
+            args.append(tuple(a))
+            imms.append(imm)
+            kind.append(k)
+            cval.append(v)
+            iidx.append(ii)
+            return nid
+
+        def const(v):
+            v %= self.p
+            hit = const_ids.get(v)
+            if hit is None:
+                hit = const_ids[v] = push("const", k="const", v=v)
+            return hit
+
+        def fold(op, vals, imm):
+            if op == "mul":
+                return (vals[0] * vals[1] * self.Rinv) % self.p
+            if op == "add":
+                return (vals[0] + vals[1]) % self.p
+            if op == "sub":
+                return (vals[0] - vals[1]) % self.p
+            if op == "select":
+                return vals[1] if vals[0] else vals[2]
+            if op == "eq":
+                return int(vals[0] == vals[1])
+            if op == "neq":
+                return int(vals[0] != vals[1])
+            table = {
+                "lt": hf.lesser, "le": hf.lesser_eq,
+                "gt": hf.greater, "ge": hf.greater_eq,
+                "land": hf.bool_and, "lor": hf.bool_or,
+                "band": hf.bit_and, "bor": hf.bit_or, "bxor": hf.bit_xor,
+            }
+            if op in table:
+                return table[op](vals[0], vals[1])
+            if op == "lnot":
+                return hf.bool_not(vals[0])
+            if op == "bnot":
+                return hf.complement(vals[0])
+            if op == "shl_k":
+                return hf.shift_l(vals[0], imm)
+            if op == "shr_k":
+                return hf.shift_r(vals[0], imm)
+            raise UnsupportedTapeOp(op)
+
+        def emit(op, a, imm=None):
+            if all(kind[x] == "const" for x in a):
+                return const(fold(op, [cval[x] for x in a], imm))
+            key = (op, a, imm)
+            hit = cse.get(key)
+            if hit is None:
+                hit = cse[key] = push(op, a, imm)
+            return hit
+
+        def mul_chain_pow(base, e):
+            if e == 0:
+                return const(self.R % self.p)  # one in Montgomery form
+            acc = base
+            for b in bin(e)[3:]:
+                acc = emit("mul", (acc, acc))
+                if b == "1":
+                    acc = emit("mul", (acc, base))
+            return acc
+
+        new = {}
+        for i, op in enumerate(dtape.ops):
+            a = tuple(new[x] for x in dtape.args[i])
+            imm = dtape.imms[i]
+            if op == "const":
+                v = imm if dtape.domains[i] != MONT \
+                    else (imm * self.R) % self.p
+                new[i] = const(v)
+            elif op == "input":
+                new[i] = push("input", imm=imm, k="input", ii=imm)
+            elif op == "to_mont":
+                new[i] = emit("mul", (a[0],
+                                      const((self.R * self.R) % self.p)))
+            elif op == "from_mont":
+                new[i] = emit("mul", (a[0], const(1)))
+            elif op == "neg":
+                new[i] = emit("sub", (const(0), a[0]))
+            elif op == "pow_k":
+                new[i] = mul_chain_pow(a[0], imm)
+            elif op == "div":
+                inv = mul_chain_pow(a[1], self.p - 2)
+                new[i] = emit("mul", (a[0], inv))
+            elif op in KERNEL_OPS:
+                new[i] = emit(op, a, imm)
+            else:
+                raise UnsupportedTapeOp(op)
+
+        self.out_ids = [new[o] for o in dtape.outputs]
+        live = [False] * len(ops)
+        stack = list(self.out_ids)
+        while stack:
+            x = stack.pop()
+            if live[x]:
+                continue
+            live[x] = True
+            stack.extend(args[x])
+        self.ops, self.args, self.imms = ops, args, imms
+        self.kind, self.cval, self.iidx = kind, cval, iidx
+        self.live = live

@@ -180,7 +180,11 @@ def main(argv=None):
         tape, layout = cc.build_tape()
         prog = WitnessProgram(tape, field_spec(args.prime),
                               unroll_threshold=0)
-        cols = _batch_columns(cc, batch_inputs, layout, prog)
+        try:
+            cols = _batch_columns(cc, batch_inputs, layout, prog)
+        except (Report, ReportCollection) as r:
+            _print_reports(r, cc.archive.file_library)
+            return 1
         out = prog.run(prog.encode_inputs(cols))
         decoded = prog.decode_outputs(out)
         for bi in range(len(batch_inputs)):

@@ -32,6 +32,16 @@ from .limbs import spec_constants
 MASK = (1 << LIMB_BITS) - 1
 
 
+def on_tpu():
+    """True when the default JAX backend is a TPU.  Robust to broken
+    platform plugins (a stale JAX_PLATFORMS naming an unregistered
+    plugin raises RuntimeError from default_backend)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 class JaxField:
     """Field-op kernel library for one prime, acting on uint32[..., L, B]."""
 
@@ -103,7 +113,7 @@ class JaxField:
     # ring ops (domain-agnostic: work in both MONT and NORM)
     # ------------------------------------------------------------------
     def add(self, a, b):
-        if jax.default_backend() == "tpu":
+        if on_tpu():
             B = jnp.broadcast_shapes(a.shape, b.shape)[-1]
             if B % 8 == 0:
                 return self._pallas_binop("add")(a, b)
@@ -122,7 +132,7 @@ class JaxField:
         return cache[which]
 
     def sub(self, a, b):
-        if jax.default_backend() == "tpu":
+        if on_tpu():
             B = jnp.broadcast_shapes(a.shape, b.shape)[-1]
             if B % 8 == 0:
                 return self._pallas_binop("sub")(a, b)
@@ -155,7 +165,7 @@ class JaxField:
           backend's compile time explodes on the unrolled list form and
           test runtime does not matter.
         """
-        if jax.default_backend() == "tpu":
+        if on_tpu():
             B = jnp.broadcast_shapes(a.shape, b.shape)[-1]
             if B % 8 == 0:
                 return self._pallas_mm(a, b)
@@ -227,7 +237,7 @@ class JaxField:
         """Array form of the CIOS reduction tail (used by the R1CS checker
         on wide segment sums): uint32 (..., <=2L+1, B) columns, each
         < ~2^22, value V < R*p  ->  V*R^-1 mod p."""
-        if jax.default_backend() == "tpu":
+        if on_tpu():
             n = cols.shape[-2]
             return self._mont_reduce_list(
                 [cols[..., k, :] for k in range(n)])

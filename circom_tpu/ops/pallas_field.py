@@ -20,6 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..field.primes import LIMB_BITS, FieldSpec
 from .limbs import spec_constants
+from .jfield import on_tpu
 
 MASK = (1 << LIMB_BITS) - 1
 
@@ -82,7 +83,7 @@ def make_mont_mul(spec: FieldSpec, block_b: int = 1024,
         for i in range(L):
             o_ref[0, i] = jnp.where(take, subbed[i], limbs[i])
 
-    interp = (jax.default_backend() != "tpu") if interpret is None \
+    interp = (not on_tpu()) if interpret is None \
         else interpret
 
     def call4d(a, b):
@@ -180,7 +181,7 @@ def make_add(spec: FieldSpec, block_b: int = 1024,
             carry = t >> LIMB_BITS
         _cond_sub_store(o_ref, limbs, carry, p_list, L)
 
-    interp = (jax.default_backend() != "tpu") if interpret is None \
+    interp = (not on_tpu()) if interpret is None \
         else interpret
     return _elemwise_call(kernel, interp, block_b)
 
@@ -202,7 +203,7 @@ def make_sub(spec: FieldSpec, block_b: int = 1024,
             carry = v >> LIMB_BITS
         _cond_sub_store(o_ref, limbs, carry.astype(jnp.uint32), p_list, L)
 
-    interp = (jax.default_backend() != "tpu") if interpret is None \
+    interp = (not on_tpu()) if interpret is None \
         else interpret
     return _elemwise_call(kernel, interp, block_b)
 

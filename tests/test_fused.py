@@ -1,0 +1,213 @@
+"""Fused TPU backends (interp + segments) vs the host calculator.
+
+Runs the Pallas kernels in interpreter mode on CPU.  Interpret mode
+cost scales hard with limb count (bn128's L=16 takes ~100 s per
+Montgomery mul on CPU), so these tests use goldilocks (L=4) — the
+same kernel code paths with 4x16-bit limbs.  Real-hardware bn128
+validation is bench.py's device-side witness check.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from circom_tpu.backend.interp import InterpreterProgram
+from circom_tpu.backend.jax_backend import DomainTape
+from circom_tpu.backend.segments import SegmentedProgram
+from circom_tpu.compiler.pipeline import compile_source
+from circom_tpu.field.primes import field_spec
+from circom_tpu.ops.limbs import ints_to_limbs, limbs_to_int
+
+PRIME = "goldilocks"
+SPEC = field_spec(PRIME)
+
+MIXED_SRC = """
+pragma circom 2.0.0;
+template T() {
+  signal input a;
+  signal input b;
+  signal output o1;
+  signal output o2;
+  signal output o3;
+  signal inter;
+  inter <== a * b + 3;
+  o1 <== inter * inter + a;
+  o2 <-- a < b ? (a ^ b) + 5 : (a | b) - (a & b);
+  o3 <-- (o2 != 0) ? a - inter : -b + inter;
+  o2 * 0 === 0;
+  o3 * 0 === 0;
+}
+component main = T();
+"""
+
+
+def _check(prog_cls, src, inputs_of, batch=2, seed=11, **kw):
+    cc = compile_source(src, prime=PRIME)
+    tape, _ = cc.build_tape()
+    dt = DomainTape(tape)
+    sp = prog_cls(dt, SPEC, **kw)
+    rng = random.Random(seed)
+    cols = [[rng.randrange(SPEC.p) for _ in range(batch)]
+            for _ in range(tape.n_inputs)]
+    arr = np.stack([ints_to_limbs(c, sp.L).T.copy() for c in cols])
+    out = np.asarray(sp._run(arr))  # eager: interpret-mode pallas on CPU
+    assert out.shape[0] == sp.n_witness
+    for b in range(batch):
+        expect = cc.witness_host(inputs_of([c[b] for c in cols]))
+        got = [limbs_to_int(out[i, :, b]) for i in range(out.shape[0])]
+        assert got == list(expect), f"witness mismatch at batch {b}"
+    return sp
+
+
+@pytest.mark.parametrize("cls", [InterpreterProgram, SegmentedProgram])
+def test_fused_mixed_ops(cls):
+    _check(cls, MIXED_SRC, lambda v: {"a": v[0], "b": v[1]})
+
+
+def test_interp_emission_chunking():
+    """More witness rows than chunk_emits forces the chunked grid."""
+    body = "\n".join(
+        f"  y[{i}] <== (x + {i}) * (x + {i + 1});" for i in range(5)
+    )
+    src = f"""
+    pragma circom 2.0.0;
+    template T() {{
+      signal input x;
+      signal output y[5];
+    {body}
+    }}
+    component main = T();
+    """
+    cc = compile_source(src, prime=PRIME)
+    tape, _ = cc.build_tape()
+    dt = DomainTape(tape)
+    sp = InterpreterProgram(dt, SPEC, chunk_emits=2)
+    assert sp.n_chunks >= 3
+    rng = random.Random(5)
+    batch = 2
+    cols = [[rng.randrange(SPEC.p) for _ in range(batch)]]
+    arr = np.stack([ints_to_limbs(c, sp.L).T.copy() for c in cols])
+    out = np.asarray(sp._run(arr))
+    for b in range(batch):
+        expect = cc.witness_host({"x": cols[0][b]})
+        got = [limbs_to_int(out[i, :, b]) for i in range(out.shape[0])]
+        assert got == list(expect)
+
+
+def test_segments_cross_boundary_liveness():
+    """A tiny budget forces many segments; values must travel across."""
+    src = """
+    pragma circom 2.0.0;
+    template T() {
+      signal input x;
+      signal output y;
+      signal t[4];
+      t[0] <== x * x;
+      t[1] <== t[0] * x + 1;
+      t[2] <== t[1] * t[0];
+      t[3] <== t[2] * t[1] + x;
+      y <== t[3] * x;
+    }
+    component main = T();
+    """
+    cc = compile_source(src, prime=PRIME)
+    tape, _ = cc.build_tape()
+    dt = DomainTape(tape)
+    sp = SegmentedProgram(dt, SPEC, budget=400)
+    assert len(sp.segments) >= 3
+    rng = random.Random(9)
+    cols = [[rng.randrange(SPEC.p) for _ in range(2)]]
+    arr = np.stack([ints_to_limbs(c, sp.L).T.copy() for c in cols])
+    out = np.asarray(sp._run(arr))
+    for b in range(2):
+        expect = cc.witness_host({"x": cols[0][b]})
+        got = [limbs_to_int(out[i, :, b]) for i in range(out.shape[0])]
+        assert got == list(expect)
+
+
+def test_interp_dot_fusion():
+    """MDS-style lincombs fuse into dot ops (lazy reduction)."""
+    src = """
+    pragma circom 2.0.0;
+    template T() {
+      signal input x1;
+      signal input x2;
+      signal input x3;
+      signal output y;
+      signal output z;
+      y <== 3*x1 + 5*x2 + 7*x3 + 11;
+      z <== 2*x1 + 9*x3;
+    }
+    component main = T();
+    """
+    cc = compile_source(src, prime=PRIME)
+    tape, _ = cc.build_tape()
+    dt = DomainTape(tape)
+    sp = InterpreterProgram(dt, SPEC)
+    ops = sp.stats()["ops"]
+    assert "dot3_c" in ops and "dot2_c" in ops, ops
+    rng = random.Random(21)
+    batch = 2
+    cols = [[rng.randrange(SPEC.p) for _ in range(batch)]
+            for _ in range(3)]
+    arr = np.stack([ints_to_limbs(c, sp.L).T.copy() for c in cols])
+    out = np.asarray(sp._run(arr))
+    for b in range(batch):
+        expect = cc.witness_host(
+            {"x1": cols[0][b], "x2": cols[1][b], "x3": cols[2][b]})
+        got = [limbs_to_int(out[i, :, b]) for i in range(out.shape[0])]
+        assert got == list(expect)
+
+
+def test_expanded_tape_folding_and_dce():
+    """Const folding happens on raw limb values with mont semantics."""
+    from circom_tpu.backend.plan import ExpandedTape
+
+    src = """
+    pragma circom 2.0.0;
+    template T() {
+      signal input x;
+      signal output y;
+      var c = 6 * 7;
+      y <== x * c + (4 - 9);
+    }
+    component main = T();
+    """
+    cc = compile_source(src, prime=PRIME)
+    tape, _ = cc.build_tape()
+    dt = DomainTape(tape)
+    xt = ExpandedTape(dt, SPEC)
+    consts = [xt.cval[i] for i in range(len(xt.ops))
+              if xt.kind[i] == "const"]
+    assert (42 * xt.R) % xt.p in consts or 42 in consts
+
+
+def test_witness_program_selects_fused():
+    """WitnessProgram plans the interpreter for supported tapes."""
+    from circom_tpu.backend.jax_backend import WitnessProgram
+
+    cc = compile_source(MIXED_SRC, prime=PRIME)
+    tape, _ = cc.build_tape()
+    prog = WitnessProgram(tape, SPEC)
+    assert isinstance(prog.fused, InterpreterProgram)
+
+
+def test_unsupported_ops_fall_back():
+    """Dynamic shifts are not interpreter ops; segments take over."""
+    src = """
+    pragma circom 2.0.0;
+    template T() {
+      signal input a;
+      signal output o;
+      o <-- a >> 3;
+      o * 0 === 0;
+    }
+    component main = T();
+    """
+    from circom_tpu.backend.jax_backend import WitnessProgram
+
+    cc = compile_source(src, prime=PRIME)
+    tape, _ = cc.build_tape()
+    prog = WitnessProgram(tape, SPEC)
+    assert isinstance(prog.fused, SegmentedProgram)
