@@ -45,6 +45,12 @@ class Analyzer:
         for b in self.archive.buses.values():
             self.check_bus(b)
         self.check_main()
+        if not self.reports.has_errors:
+            # static unknown/known dataflow (reference runs it after the
+            # structural battery, check_types.rs:77-83)
+            from .unknown_known import unknown_known_analysis
+
+            self.reports.extend(unknown_known_analysis(self.archive))
         if self.reports.has_errors:
             raise self.reports
         return self.reports  # warnings only

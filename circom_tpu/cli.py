@@ -152,6 +152,12 @@ def main(argv=None):
         path = os.path.join(outdir, f"{name}.tpu.json")
         save_program(cc, path)
         print(f"written successfully: {path}")
+    if args.cgen:
+        # extern_c custom gates: the user links an external
+        # implementation (reference c_code_generator.rs:514-545)
+        for t in cc.archive.templates.values():
+            if getattr(t, "is_extern_c", False):
+                print(_extern_c_banner(t, args.prime))
 
     if args.witness:
         try:
@@ -193,6 +199,38 @@ def main(argv=None):
                        [decoded[i][bi] for i in range(len(decoded))])
         print(f"{len(batch_inputs)} witnesses written to {outdir}")
     return 0
+
+
+def _extern_c_banner(tmpl, prime):
+    """The reference's needs-to-be-implemented notice for extern_c custom
+    gates (c_code_generator.rs:514-545): arguments first, then outputs,
+    then inputs, each io signal with a size pointer."""
+    from .frontend import ast as A
+
+    elem = "uint64_t" if prime == "goldilocks" else "FrElement"
+    params = [f"{elem}* {a} " for a in tmpl.args]
+    outs, ins = [], []
+
+    def collect(s):
+        if isinstance(s, A.Declaration) and s.xtype.kind == "signal":
+            if s.xtype.signal_type == A.SignalType.OUTPUT:
+                outs.append(s.name)
+            elif s.xtype.signal_type == A.SignalType.INPUT:
+                ins.append(s.name)
+        elif isinstance(s, A.Block):
+            for st in s.stmts:
+                collect(st)
+        elif isinstance(s, A.InitializationBlock):
+            for st in s.initializations:
+                collect(st)
+
+    collect(tmpl.body)
+    for n in outs + ins:
+        params.append(f"{elem}* {n} ")
+        params.append(f"uint* size_{n} ")
+    sig = f"void {tmpl.name}({','.join(params)});"
+    return (f"*** The method {sig} generated by the custom gate "
+            f"{tmpl.name} needs to be implemented ***\n")
 
 
 def _batch_columns(cc, batch_inputs, layout, prog):

@@ -36,6 +36,16 @@ class FunctionReturn(Exception):
         self.value = value
 
 
+# extern_c custom-gate implementations: the TPU-native analog of the
+# reference's external C linkage (templates-and-components.md:204-222).
+# register_extern("A", fn) with fn(params, inputs) -> {output: value}.
+EXTERN_IMPLS = {}
+
+
+def register_extern(name, fn):
+    EXTERN_IMPLS[name] = fn
+
+
 class PendingBus:
     """Bus wire declared, awaiting its BusCall substitution for the layout
     (parser splits `Point p;` into Declaration + `p = Point()`)."""
@@ -520,6 +530,30 @@ class Executor:
     # ==================================================================
     # pass 2: witness-mode execution
     # ==================================================================
+    def _apply_extern_impl(self, child, cs, impl, inputs):
+        """extern_c linkage (reference templates-and-components.md:204-222,
+        c_code_generator.rs:514): a registered host implementation is the
+        authority for the gate's outputs.  ``impl(params, inputs) ->
+        {output_name: int | flat list}`` with canonical ints."""
+        in_vals = {}
+        for name, slc in inputs.items():
+            vals = list(slc.values)
+            in_vals[name] = vals[0] if len(vals) == 1 else vals
+        outs = impl(list(cs.params), in_vals)
+        for name, v in outs.items():
+            decl = child.signals.get(name)
+            if decl is None or decl.xtype != A.SignalType.OUTPUT:
+                raise err(
+                    f"extern_c implementation of '{cs.template}' returned "
+                    f"unknown output '{name}'", "T2016", None)
+            vals = v if isinstance(v, (list, tuple)) else [v]
+            if len(vals) != len(decl.slice.values):
+                raise err(
+                    f"extern_c output '{name}' size mismatch", "T2019",
+                    None)
+            decl.slice.values[:] = [int(x) % self.hf.p for x in vals]
+            decl.assigned.values[:] = [True] * len(vals)
+
     def _run_witness_body(self, inst: ComponentState, input_values, path):
         tmpl = self.archive.templates[inst.template]
         frame = Frame("template", inst.template)
@@ -1338,6 +1372,12 @@ class Executor:
         path = f"{saved}.{cs.label}"
         self.instances_by_path[path] = child
         self._run_witness_body(child, inputs, path)
+        tmpl = self.archive.templates.get(cs.template)
+        impl = EXTERN_IMPLS.get(cs.template)
+        if impl is not None and tmpl is not None \
+                and getattr(tmpl, "is_extern_c", False) \
+                and self.mode == "hostwit":
+            self._apply_extern_impl(child, cs, impl, inputs)
         self._witness_path = saved
         # splice child's computed signals into the parent-facing state
         for name, decl in child.signals.items():
@@ -1552,6 +1592,32 @@ class Executor:
             raise err(f"bus '{decl.name}' used before initialization",
                       "T2037", e.meta)
         access = e.access if access is None else access
+        # witness-dependent array index: select-chain read in the value
+        # modes (the reference's generated code does runtime addressing,
+        # load_bucket.rs; compile-time flattening uses selects);
+        # conservative NonQuadratic in constrain mode — legal in `<--`,
+        # rejected if it reaches a constraint (matches the static
+        # unknown/known analysis' T20462).
+        if (decl.layout is None and access and start_i == 0
+                and all(isinstance(a, A.ArrayAccess) for a in access)
+                and len(access) == len(decl.dims)):
+            idx_vals = [self._scalar(self._eval(a.expr, frame), e.meta)
+                        for a in access]
+            if any(self.domain.known_int(v) is None for v in idx_vals):
+                if self.mode == "constrain":
+                    return NQ
+                vals = decl.slice.values
+                if any(x is None for x in vals):
+                    raise err(
+                        f"signal '{decl.name}' read before assignment",
+                        "T2005", e.meta)
+                lin = self._linear_index(idx_vals, decl.dims, e.meta)
+                acc = vals[-1]
+                for j in range(len(vals) - 2, -1, -1):
+                    cond = self.domain.infix(A.EQ, lin,
+                                             self.domain.const(j), e.meta)
+                    acc = self.domain.select(cond, vals[j], acc)
+                return acc
         res = self._resolve_wire(decl, access, frame, e.meta, start_i)
         if res[0] == "tag":
             tv = decl.tag_values[res[1]]
