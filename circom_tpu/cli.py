@@ -73,7 +73,9 @@ def build_arg_parser():
     ap.add_argument("--use_old_simplification_heuristics",
                     action="store_true")
     ap.add_argument("--parallel", action="store_true",
-                    help="(compat) simplification is always cluster-parallel")
+                    help="solve simplification clusters on a process pool "
+                         "(reference: threadpool, "
+                         "constraint_simplification.rs:198-327)")
     # witness generation
     ap.add_argument("--witness", metavar="INPUT_JSON",
                     help="compute a witness from input.json (host path)")
@@ -103,7 +105,7 @@ def main(argv=None):
         cc = compile_circuit(
             args.input, prime=args.prime,
             link_libraries=args.link_libraries, no_init=args.no_init,
-            simplification=simpl, rounds=rounds,
+            simplification=simpl, rounds=rounds, parallel=args.parallel,
         )
     except (Report, ReportCollection) as r:
         _print_reports(r, None)

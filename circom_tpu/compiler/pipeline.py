@@ -22,7 +22,8 @@ from .simplify import SimplifiedSystem, simplify
 
 class CompiledCircuit:
     def __init__(self, archive, dag: DAG, memo, main_node_id,
-                 simplification: str = "O1", rounds: int = 0):
+                 simplification: str = "O1", rounds: int = 0,
+                 parallel: bool = False):
         self.archive = archive
         self.dag = dag
         self.memo = memo
@@ -35,7 +36,8 @@ class CompiledCircuit:
         else:
             if simplification == "O2" and rounds == 0:
                 rounds = 1 << 30  # plain --O2: iterate to fixpoint
-            self.simplified = simplify(dag, self.hf, simplification, rounds)
+            self.simplified = simplify(dag, self.hf, simplification, rounds,
+                                       parallel=parallel)
 
     # -- constraint artifacts -------------------------------------------
     def r1cs_rows(self):
@@ -214,7 +216,8 @@ class CompiledCircuit:
 
 def compile_circuit(path: str, prime: str = "bn128", link_libraries=(),
                     no_init: bool = False, simplification: str = "O1",
-                    rounds: int = 0) -> CompiledCircuit:
+                    rounds: int = 0,
+                    parallel: bool = False) -> CompiledCircuit:
     spec = field_spec(prime)
     archive, warnings = run_parser(
         path, spec.p, prime, link_libraries, no_init)
@@ -224,7 +227,7 @@ def compile_circuit(path: str, prime: str = "bn128", link_libraries=(),
     ex = Executor(archive, "constrain")
     main_node_id = ex.run_constrain()
     return CompiledCircuit(archive, ex.dag, ex.memo, main_node_id,
-                           simplification, rounds)
+                           simplification, rounds, parallel=parallel)
 
 
 def compile_source(source: str, prime: str = "bn128", tmpdir=None,

@@ -194,7 +194,35 @@ def _gauss_cluster(cluster, forbidden, hf):
     return out_subs, cons
 
 
-def simplify(dag: DAG, hf: HostField, mode: str = "O1", rounds: int = 0):
+def _solve_clusters(clusters, forbidden, hf, solver, parallel):
+    """Solve independent signal clusters, optionally on a process pool.
+
+    The reference dispatches each cluster to a threadpool
+    (constraint_simplification.rs:198-251, 275-327); clusters are
+    connected components of the signal graph, so they are embarrassingly
+    parallel.  Results are collected in submission order, keeping the
+    simplification (and therefore .r1cs/.sym wire numbering)
+    deterministic regardless of worker count."""
+    if not parallel or len(clusters) < 4:
+        return [solver(cl, forbidden, hf) for cl in clusters]
+    import concurrent.futures as cf
+    import functools
+    import os
+
+    workers = min(os.cpu_count() or 1, len(clusters))
+    chunk = max(1, len(clusters) // (workers * 4))
+    try:
+        with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+            return list(ex.map(
+                functools.partial(solver, forbidden=forbidden, hf=hf),
+                clusters, chunksize=chunk))
+    except (OSError, cf.process.BrokenProcessPool):
+        # sandboxed environments without fork/spawn: run sequentially
+        return [solver(cl, forbidden, hf) for cl in clusters]
+
+
+def simplify(dag: DAG, hf: HostField, mode: str = "O1", rounds: int = 0,
+             parallel: bool = False):
     """mode: 'O1' (equalities + constants) or 'O2' (adds linear Gauss)."""
     forbidden = set(dag.get_main().forbidden_if_main)
     const_eqs, eqs, linear, nonlinear = [], [], [], []
@@ -225,8 +253,8 @@ def simplify(dag: DAG, hf: HostField, mode: str = "O1", rounds: int = 0):
     # phase 1: equality clusters
     clusters = _build_clusters(eqs)
     eq_frame = {}
-    for cl in clusters:
-        subs, cons = _eq_cluster_simplification(cl, forbidden, hf)
+    for subs, cons in _solve_clusters(clusters, forbidden, hf,
+                                      _eq_cluster_simplification, parallel):
         lconst.extend(cons)
         for s in subs:
             eq_frame[s.signal] = s.coeffs
@@ -252,8 +280,8 @@ def simplify(dag: DAG, hf: HostField, mode: str = "O1", rounds: int = 0):
     lin_frame = {}
     if mode == "O2":
         clusters = _build_clusters([c for c in linear if not c.is_empty()])
-        for cl in clusters:
-            subs, cons = _gauss_cluster(cl, forbidden, hf)
+        for subs, cons in _solve_clusters(clusters, forbidden, hf,
+                                          _gauss_cluster, parallel):
             lconst.extend(cons)
             for s in subs:
                 lin_frame[s.signal] = s.coeffs
@@ -284,8 +312,8 @@ def simplify(dag: DAG, hf: HostField, mode: str = "O1", rounds: int = 0):
         clusters = _build_clusters(
             [c for c in became_linear if not c.is_empty()])
         became_linear = []
-        for cl in clusters:
-            subs, cons = _gauss_cluster(cl, forbidden, hf)
+        for subs, cons in _solve_clusters(clusters, forbidden, hf,
+                                          _gauss_cluster, parallel):
             lconst.extend(cons)
             for s in subs:
                 round_frame[s.signal] = s.coeffs

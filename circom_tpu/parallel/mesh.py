@@ -23,14 +23,33 @@ def make_mesh(n_devices=None, axis="batch"):
     return Mesh(np.array(devs), (axis,))
 
 
-def shard_program(program, mesh, axis="batch"):
+def shard_program(program, mesh, axis="batch", use_fused=None):
     """Wrap a WitnessProgram into a pjit'ed fn with the batch dim sharded.
 
     Input layout (n_inputs, L, batch): batch is dim 2 (minor/lane axis).
     Output layout (n_witness, L, batch): batch is dim 2.
+
+    The fused Pallas backends are custom calls XLA cannot auto-partition,
+    so they run under shard_map: each device executes the whole kernel on
+    its local batch shard (still zero collectives — witnesses are
+    independent).  The per-op/scan paths are plain elementwise XLA and
+    partition automatically under jit.
     """
-    in_sharding = NamedSharding(mesh, P(None, None, axis))
-    out_sharding = NamedSharding(mesh, P(None, None, axis))
+    from ..ops.jfield import on_tpu
+
+    spec = P(None, None, axis)
+    in_sharding = NamedSharding(mesh, spec)
+    out_sharding = NamedSharding(mesh, spec)
+    if use_fused is None:
+        use_fused = program.fused is not None and on_tpu()
+    if use_fused:
+        from jax.experimental.shard_map import shard_map
+
+        body = shard_map(program.fused._run, mesh=mesh,
+                         in_specs=(spec,), out_specs=spec,
+                         check_rep=False)
+        return jax.jit(body, in_shardings=in_sharding,
+                       out_shardings=out_sharding)
     return jax.jit(
         program.jittable(),
         in_shardings=in_sharding,

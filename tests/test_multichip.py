@@ -86,3 +86,37 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_shard_map_fused_interpreter():
+    """The production fused path shards via shard_map (pallas custom
+    calls cannot be auto-partitioned); validated on the virtual mesh in
+    interpret mode with a tiny goldilocks circuit."""
+    import jax
+
+    from circom_tpu.parallel.mesh import make_mesh, shard_program
+    from circom_tpu.backend.interp import InterpreterProgram
+
+    spec = field_spec("goldilocks")
+    src = """
+    pragma circom 2.0.0;
+    template T() { signal input a; signal input b; signal output o;
+      o <== a * b + 3; }
+    component main = T();
+    """
+    cc = compile_source(src, prime="goldilocks")
+    tape, _ = cc.build_tape()
+    prog = WitnessProgram(tape, spec, unroll_threshold=0)
+    assert isinstance(prog.fused, InterpreterProgram)
+    mesh = make_mesh(8)
+    fn = shard_program(prog, mesh, use_fused=True)
+    batch = 16  # 2 per device
+    cols = [[(7 * i + k) % spec.p for i in range(batch)] for k in (1, 2)]
+    arr = np.stack([ints_to_limbs(c, prog.jf.L).T.copy() for c in cols])
+    out = np.asarray(fn(arr))
+    from circom_tpu.ops.limbs import limbs_to_int
+
+    for i in range(batch):
+        expect = list(cc.witness_host({"a": cols[0][i], "b": cols[1][i]}))
+        got = [limbs_to_int(out[j, :, i]) for j in range(out.shape[0])]
+        assert got == expect, i

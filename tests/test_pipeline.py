@@ -268,3 +268,19 @@ component main = T();
         return sum(v * (1 if k == CONST else 0) + (w[k] * v if k != CONST else 0)
                    for k, v in lc.items()) % P
     assert (ev(a, w2) * ev(b, w2) - ev(c, w2)) % P == 0
+
+
+def test_parallel_simplification_deterministic():
+    """--parallel (process-pool cluster solving, reference threadpool
+    constraint_simplification.rs:198-327) must produce byte-identical
+    artifacts to the sequential path."""
+    from circom_tpu.circuits.gen_poseidon import generate as gen_poseidon
+
+    src = (gen_poseidon((2,))
+           + open("circom_tpu/circuits/merkle.circom").read()
+             .replace("pragma circom 2.0.0;", "")
+           + "\ncomponent main = MerkleInclusion(4);\n")
+    seq = compile_source(src, simplification="O2")
+    par = compile_source(src, simplification="O2", parallel=True)
+    assert seq.r1cs_rows() == par.r1cs_rows()
+    assert seq.counts() == par.counts()
