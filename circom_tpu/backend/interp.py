@@ -51,6 +51,32 @@ _VV_OPS = {
 # ops with a constant operand that get a const-bank variant
 _C_VARIANTS = {"mul": "mul_c", "add": "add_c", "sub": "sub_c"}
 
+# comparison/boolean ops: always narrow results; _nn reads the narrow
+# register file, _ww the wide one (mixed operands widen first)
+_CMP = {"eq", "neq", "lt", "le", "gt", "ge", "land", "lor"}
+
+# opcodes whose result lives in the narrow int32 register file
+_NARROW_RESULT = (
+    {"nmul", "nadd", "nsub", "nsel", "nsel_w", "nband", "nbor", "nbxor",
+     "nshl", "nshr", "nband_w", "lnot_n", "lnot_w"}
+    | {f"{o}_nn" for o in _CMP} | {f"{o}_ww" for o in _CMP}
+)
+
+# operand register files per opcode position ('n' narrow / 'w' wide);
+# default is all-wide
+_OPERAND_FILES = {
+    "nmul": ("n", "n", "w"), "nadd": ("n", "n", "w"),
+    "nsub": ("n", "n", "w"), "nband": ("n", "n", "w"),
+    "nbor": ("n", "n", "w"), "nbxor": ("n", "n", "w"),
+    "nsel": ("n", "n", "n"), "nsel_w": ("w", "n", "n"),
+    "nshl": ("n", "w", "w"), "nshr": ("n", "w", "w"),
+    "nband_w": ("w", "w", "w"), "widen": ("n", "w", "w"),
+    "lnot_n": ("n", "w", "w"), "lnot_w": ("w", "w", "w"),
+}
+for _o in _CMP:
+    _OPERAND_FILES[f"{_o}_nn"] = ("n", "n", "w")
+    _OPERAND_FILES[f"{_o}_ww"] = ("w", "w", "w")
+
 
 class InterpreterProgram:
     """Executable interpreter form of a DomainTape for one field."""
@@ -71,7 +97,8 @@ class InterpreterProgram:
             # buffered in/out blocks inside ~12MB of the 16MB VMEM
             # (256 lanes measured ~4% faster than 128 on Poseidon2)
             rows = (self.n_regs + 2 * (self.K + 2)
-                    + 2 * max(self.n_inputs, 1))
+                    + 2 * max(self.n_inputs, 1)
+                    + -(-self.n_nregs // self.L))
             lanes = 256 if rows * self.L * 8 * 256 * 4 <= 12 << 20 else 128
         self.lanes = lanes
         self._jit = None
@@ -82,6 +109,7 @@ class InterpreterProgram:
         L = self.L
         one_v = 1
         r2_v = (xt.R * xt.R) % xt.p
+        half = xt.p >> 1
 
         comp = [i for i in range(len(xt.ops))
                 if xt.kind[i] == "compute" and xt.live[i]]
@@ -91,8 +119,9 @@ class InterpreterProgram:
         # --- operand normalization ------------------------------------
         bank_vals = []          # const-bank rows (values)
         bank_dedup = {}
-        mat_ix = {}             # const value -> materialized reg (later)
-        steps = []              # (op, a_node, b_src, c_node, node, aux)
+        mat_ix = {}             # const value -> wide materialized slot
+        nmat_ix = {}            # signed int32 const -> narrow slot
+        steps = []              # (op, a, b, c, node, aux)
 
         def bank(v):
             hit = bank_dedup.get(v)
@@ -113,6 +142,19 @@ class InterpreterProgram:
                 hit = mat_ix[v] = len(mat_ix)
             return hit
 
+        def signed_of(v):
+            return v if v <= half else v - xt.p
+
+        def nfits(v):
+            return abs(signed_of(v)) <= (1 << 31) - 1
+
+        def nmaterialize(v):
+            sv = signed_of(v)
+            hit = nmat_ix.get(sv)
+            if hit is None:
+                hit = nmat_ix[sv] = len(nmat_ix)
+            return hit
+
         alias = {}
 
         def res(a):
@@ -120,7 +162,15 @@ class InterpreterProgram:
                 a = alias[a]
             return a
 
-        def synth():
+        node_narrow = {}
+        for i0 in range(len(xt.ops)):
+            if xt.kind[i0] == "compute":
+                node_narrow[i0] = bool(xt.narrow[i0])
+
+        def is_nrw(x):
+            return node_narrow.get(x, False)
+
+        def synth(narrow=False):
             nid = len(xt.ops)
             xt.ops.append("_tmp")
             xt.args.append(())
@@ -128,8 +178,44 @@ class InterpreterProgram:
             xt.kind.append("compute")
             xt.cval.append(None)
             xt.iidx.append(None)
+            xt.narrow.append(narrow)
             xt.live.append(True)
+            node_narrow[nid] = narrow
             return nid
+
+        widened = {}
+
+        def _emit_widen_if_out(x):
+            """Emission needs full limbs: widen a narrow witness value
+            right after its defining step (NOT at the tape end, which
+            would keep every narrow witness value live to the end —
+            measured 25k registers on SHA256)."""
+            if is_nrw(x) and x in out_set:
+                wide_of(x)
+
+        def wide_of(x):
+            """Wide (L-limb) view of a narrow node: emits one `widen`
+            step per node, cached."""
+            w = widened.get(x)
+            if w is None:
+                w = synth(False)
+                widened[x] = w
+                steps.append(("widen", x, None, None, w, None))
+            return w
+
+        def wform(x):
+            """Operand in wide form (const -> wide materialized reg)."""
+            if xt.kind[x] == "const":
+                return ("mat", materialize(xt.cval[x]))
+            if is_nrw(x):
+                return wide_of(x)
+            return x
+
+        def nform(x):
+            """Operand in narrow form (const -> narrow slot)."""
+            if xt.kind[x] == "const":
+                return ("nmat", nmaterialize(xt.cval[x]))
+            return x
 
         # --- lincomb fusion pre-pass ------------------------------------
         # MDS-style rows arrive as add(add(add(K, mul_c), mul_c), mul_c):
@@ -148,15 +234,17 @@ class InterpreterProgram:
             if xt.ops[x] != "mul" or uses.get(x, 0) != 1 or x in out_set:
                 return None
             a0, a1 = xt.args[x]
-            if xt.kind[a0] == "const" and xt.kind[a1] != "const":
+            if xt.kind[a0] == "const" and xt.kind[a1] != "const" \
+                    and not is_nrw(a1):
                 return (a1, xt.cval[a0])
-            if xt.kind[a1] == "const" and xt.kind[a0] != "const":
+            if xt.kind[a1] == "const" and xt.kind[a0] != "const" \
+                    and not is_nrw(a0):
                 return (a0, xt.cval[a1])
             return None
 
         roots, absorbed = {}, set()
         for i in reversed(comp):
-            if xt.ops[i] != "add" or i in absorbed:
+            if xt.ops[i] != "add" or i in absorbed or is_nrw(i):
                 continue
             terms, bares, K_acc, local = [], [], 0, []
             stack = list(xt.args[i])
@@ -174,6 +262,7 @@ class InterpreterProgram:
                     local.append(x)
                     continue
                 if (xt.ops[x] == "add" and uses.get(x, 0) == 1
+                        and not is_nrw(x)
                         and x not in out_set and x not in absorbed):
                     local.append(x)
                     stack.extend(xt.args[x])
@@ -209,12 +298,13 @@ class InterpreterProgram:
                         nid, base))
                     parts.append(nid)
                 if len(terms) - g == 1:
-                    x, c = terms[g]
+                    x, cv = terms[g]
                     nid = synth()
-                    steps.append(("mul_c", res(x), ("bank", bank(c)),
+                    steps.append(("mul_c", res(x), ("bank", bank(cv)),
                                   None, nid, None))
                     parts.append(nid)
-                parts.extend(res(x) for x in bares)
+                parts.extend(wform(res(x)) if isinstance(res(x), int)
+                             else res(x) for x in bares)
                 acc = parts[0]
                 for x in parts[1:]:
                     nid = synth()
@@ -233,6 +323,101 @@ class InterpreterProgram:
             if op == "select" and kinds[0] == "const":
                 alias[i] = a[1] if xt.cval[a[0]] else a[2]
                 continue
+            nrw_i = is_nrw(i)
+
+            # ---- narrow-result ops (comparisons/booleans always) -----
+            if op in _CMP:
+                xs = [x for x, k in zip(a, kinds) if k != "const"]
+                if xs and all(is_nrw(x) for x in xs) and all(
+                        nfits(xt.cval[x]) for x, k in zip(a, kinds)
+                        if k == "const"):
+                    steps.append((op + "_nn", nform(a[0]), nform(a[1]),
+                                  None, i, None))
+                else:
+                    steps.append((op + "_ww", wform(a[0]), wform(a[1]),
+                                  None, i, None))
+                node_narrow[i] = True
+                _emit_widen_if_out(i)
+                continue
+            if op == "lnot":
+                if is_nrw(a[0]):
+                    steps.append(("lnot_n", a[0], None, None, i, None))
+                else:
+                    steps.append(("lnot_w", wform(a[0]), None, None,
+                                  i, None))
+                node_narrow[i] = True
+                _emit_widen_if_out(i)
+                continue
+            if nrw_i and op in ("mulp", "add", "sub"):
+                nop = {"mulp": "nmul", "add": "nadd", "sub": "nsub"}[op]
+                steps.append((nop, nform(a[0]), nform(a[1]), None,
+                              i, None))
+                _emit_widen_if_out(i)
+                continue
+            if nrw_i and op == "select":
+                x1, x2 = nform(a[1]), nform(a[2])
+                if kinds[0] != "const" and not is_nrw(a[0]):
+                    steps.append(("nsel_w", a[0], x1, x2, i, None))
+                else:
+                    steps.append(("nsel", nform(a[0]), x1, x2, i, None))
+                _emit_widen_if_out(i)
+                continue
+            if nrw_i and op == "band":
+                cargs = [x for x, k in zip(a, kinds) if k == "const"]
+                vargs = [x for x, k in zip(a, kinds) if k != "const"]
+                if len(vargs) == 2 and all(is_nrw(x) for x in vargs):
+                    steps.append(("nband", vargs[0], vargs[1], None,
+                                  i, None))
+                    _emit_widen_if_out(i)
+                    continue
+                if len(vargs) == 1 and is_nrw(vargs[0]) and cargs:
+                    steps.append(("nband", vargs[0], nform(cargs[0]),
+                                  None, i, None))
+                    _emit_widen_if_out(i)
+                    continue
+                if len(vargs) == 1 and cargs \
+                        and xt.cval[cargs[0]] <= (1 << 31) - 1:
+                    # wide value masked by a small constant -> narrow
+                    steps.append(("nband_w", wform(vargs[0]), None, None,
+                                  i, bank(xt.cval[cargs[0]])))
+                    _emit_widen_if_out(i)
+                    continue
+                node_narrow[i] = False
+                nrw_i = False  # fall through to the wide band
+            if nrw_i and op in ("bor", "bxor"):
+                steps.append(({"bor": "nbor", "bxor": "nbxor"}[op],
+                              nform(a[0]), nform(a[1]), None, i, None))
+                _emit_widen_if_out(i)
+                continue
+            if nrw_i and op in ("shl_k", "shr_k"):
+                steps.append(({"shl_k": "nshl", "shr_k": "nshr"}[op],
+                              nform(a[0]), None, None, i, xt.imms[i]))
+                _emit_widen_if_out(i)
+                continue
+
+            # ---- wide ops ---------------------------------------------
+            if op == "mulp":
+                # plain product on the wide lane; by a constant it is a
+                # single montmul with the constant pre-scaled by R:
+                # montmul(a, cR) = a*c.  Variable*variable costs two.
+                if kinds[0] == "const":
+                    a = [a[1], a[0]]
+                    kinds = [kinds[1], kinds[0]]
+                if kinds[1] == "const":
+                    cr = (xt.cval[a[1]] * xt.R) % xt.p
+                    steps.append(("mul_c", wform(a[0]),
+                                  ("bank", bank(cr)), None, i, None))
+                    _emit_widen_if_out(i)
+                    continue
+                t = synth()
+                steps.append(("mul", wform(a[0]), wform(a[1]),
+                              None, t, None))
+                steps.append(("mul_r2", t, None, None, i, None))
+                continue
+            if op in ("shl_k", "shr_k"):
+                steps.append(({"shl_k": "shl_kw", "shr_k": "shr_kw"}[op],
+                              wform(a[0]), None, None, i, xt.imms[i]))
+                continue
             if op in _C_VARIANTS:
                 ops_c = _C_VARIANTS[op]
                 if op in ("mul", "add") and kinds[0] == "const":
@@ -241,63 +426,88 @@ class InterpreterProgram:
                 if kinds[1] == "const":
                     v = xt.cval[a[1]]
                     if op == "mul" and v == one_v:
-                        steps.append(("mul_one", a[0], None, None, i, None))
+                        steps.append(("mul_one", wform(a[0]), None, None,
+                                      i, None))
                     elif op == "mul" and v == r2_v:
-                        steps.append(("mul_r2", a[0], None, None, i, None))
+                        steps.append(("mul_r2", wform(a[0]), None, None,
+                                      i, None))
                     else:
-                        steps.append((ops_c, a[0], ("bank", bank(v)),
-                                      None, i, None))
+                        steps.append((ops_c, wform(a[0]),
+                                      ("bank", bank(v)), None, i, None))
                     continue
                 if op == "sub" and kinds[0] == "const":
-                    steps.append(("csub_c", a[1], ("bank",
-                                                   bank(xt.cval[a[0]])),
+                    steps.append(("csub_c", wform(a[1]),
+                                  ("bank", bank(xt.cval[a[0]])),
                                   None, i, None))
                     continue
-                steps.append((op, a[0], a[1], None, i, None))
+                steps.append((op, wform(a[0]), wform(a[1]), None,
+                              i, None))
                 continue
             if op not in _VV_OPS:
                 raise UnsupportedTapeOp(
                     f"op '{op}' not supported by the interpreter kernel")
-            # materialize const operands of the remaining ops
-            norm = []
-            for x, k in zip(a, kinds):
-                if k == "const":
-                    norm.append(("mat", materialize(xt.cval[x])))
-                else:
-                    norm.append(x)
+            norm = [wform(x) for x in a]
             pad = norm + [None] * (3 - len(norm))
             steps.append((op, pad[0], pad[1], pad[2], i, None))
 
-        # resolve witness ids through aliases
-        self.xt.out_ids = [res(o) for o in self.xt.out_ids]
-        out_set = set(self.xt.out_ids)
+        # narrow witness values were widened in place next to their
+        # defining steps; remap emissions onto the wide views (any
+        # stragglers — e.g. aliased selects — widen at the tail)
+        def _wide_out(o):
+            o = res(o)
+            if isinstance(o, int) and xt.kind[o] == "compute" \
+                    and is_nrw(o):
+                return wide_of(o)
+            return o
+
+        self.xt.out_ids = [_wide_out(o) for o in xt.out_ids]
+        out_set = set(x for x in self.xt.out_ids
+                      if xt.kind[x] == "compute")
 
         # --- register allocation ---------------------------------------
-        # regs: [inputs][materialized consts][dynamic...][trash]
+        # wide regs: [inputs][materialized consts][dynamic...][trash]
+        # narrow regs: [narrow consts][dynamic...][trash]
         n_fixed = self.n_inputs + len(mat_ix)
         self.mat_loads = [
             (self.n_inputs + r, tuple(int(x) for x in int_to_limbs(v, L)))
             for v, r in sorted(mat_ix.items(), key=lambda kv: kv[1])
         ]
+        n_nfixed = len(nmat_ix)
+        self.nmat_loads = sorted(
+            ((r, sv) for sv, r in nmat_ix.items()), key=lambda kv: kv[0])
+
+        narrow_ops = sorted({op for (op, *_r) in steps
+                             if op in _NARROW_RESULT})
+        wide_ops = sorted({op for (op, *_r) in steps
+                           if op not in _NARROW_RESULT})
+        self.opset_n, self.opset_w = narrow_ops, wide_ops
+        self.n_narrow_ops = len(narrow_ops)
+        op_id = {op: k for k, op in enumerate(narrow_ops)}
+        for k, op in enumerate(wide_ops):
+            op_id[op] = self.n_narrow_ops + k
+
         last_use = {}
         for t, (_op, a, b, c, _i, _aux) in enumerate(steps):
             for x in (a, b, c):
                 if isinstance(x, int):
                     last_use[x] = t
-        reg_of = {}
-        free = []
-        n_dyn = 0
+        reg_of, nreg_of = {}, {}
+        free_w, free_n = [], []
+        n_dyn_w = n_dyn_n = 0
         expire = [[] for _ in range(len(steps) + 1)]
-        emitted = {}
 
-        def reg_for_operand(x):
+        def operand_reg(x, want_narrow):
+            if isinstance(x, tuple):
+                if x[0] == "bank":
+                    return x[1]
+                if x[0] == "mat":
+                    return self.n_inputs + x[1]
+                return x[1]  # ("nmat", slot)
             if xt.kind[x] == "input":
                 return xt.iidx[x]
-            return reg_of[x]
+            return nreg_of[x] if want_narrow else reg_of[x]
 
         table = np.zeros((max(len(steps), 1), 7), np.int32)
-        self.opset = sorted({op for (op, *_rest) in steps})
-        op_id = {op: k for k, op in enumerate(self.opset)}
 
         # chunking by emission count
         K = self.K
@@ -306,37 +516,34 @@ class InterpreterProgram:
         chunk = 0
         wit_rows = {}  # node -> (chunk, row)
         for t, (op, a, b, c, i, aux) in enumerate(steps):
-            for r in expire[t]:
-                free.append(r)
-            emits = i in out_set
+            for (fl, r) in expire[t]:
+                (free_n if fl else free_w).append(r)
+            dst_narrow = op in _NARROW_RESULT
+            emits = (not dst_narrow) and i in out_set
             if emits and emit_count == K:
                 starts.append(t)
                 chunk += 1
                 emit_count = 0
-            # operands
-            ta = reg_for_operand(a) if isinstance(a, int) else (
-                self.n_inputs + a[1] if isinstance(a, tuple)
-                and a[0] == "mat" else 0)
-            if isinstance(b, int):
-                tb = reg_for_operand(b)
-            elif isinstance(b, tuple):
-                tb = (b[1] if b[0] == "bank"
-                      else self.n_inputs + b[1])
-            else:
-                tb = 0
-            if isinstance(c, int):
-                tc = reg_for_operand(c)
-            elif isinstance(c, tuple):
-                tc = self.n_inputs + c[1]
-            else:
-                tc = 0
+            files = _OPERAND_FILES.get(op, ("w", "w", "w"))
+            cols = []
+            for x, f in zip((a, b, c), files):
+                if x is None:
+                    cols.append(0)
+                else:
+                    cols.append(operand_reg(x, f == "n"))
             # destination
             if i in last_use and last_use[i] > t:
-                r = free.pop() if free else n_fixed + n_dyn
-                if r == n_fixed + n_dyn:
-                    n_dyn += 1
-                reg_of[i] = r
-                expire[last_use[i] + 1].append(r)
+                if dst_narrow:
+                    r = free_n.pop() if free_n else n_nfixed + n_dyn_n
+                    if r == n_nfixed + n_dyn_n:
+                        n_dyn_n += 1
+                    nreg_of[i] = r
+                else:
+                    r = free_w.pop() if free_w else n_fixed + n_dyn_w
+                    if r == n_fixed + n_dyn_w:
+                        n_dyn_w += 1
+                    reg_of[i] = r
+                expire[last_use[i] + 1].append((dst_narrow, r))
                 dst = r
             else:
                 dst = -1  # trash, patched below
@@ -346,17 +553,21 @@ class InterpreterProgram:
                 emit_count += 1
             else:
                 em = K
-            table[t] = (op_id[op], ta, tb, tc, dst, em,
+            table[t] = (op_id[op], cols[0], cols[1], cols[2], dst, em,
                         aux if aux is not None else 0)
         starts.append(len(steps))
-        self.n_regs = n_fixed + n_dyn + 1  # + trash
+        self.n_regs = n_fixed + n_dyn_w + 1    # + wide trash
+        self.n_nregs = n_nfixed + n_dyn_n + 1  # + narrow trash
         if self.n_regs > max_regs:
             raise UnsupportedTapeOp(
                 f"register file too large ({self.n_regs} > {max_regs})")
-        trash = self.n_regs - 1
-        for t in range(len(steps)):
+        if self.n_nregs > 16 * max_regs:
+            raise UnsupportedTapeOp(
+                f"narrow register file too large ({self.n_nregs})")
+        for t, (op, *_r) in enumerate(steps):
             if table[t, 4] == -1:
-                table[t, 4] = trash
+                table[t, 4] = (self.n_nregs - 1 if op in _NARROW_RESULT
+                               else self.n_regs - 1)
         self.table = table
         self.starts = np.asarray(starts, np.int32)
         self.n_chunks = len(starts) - 1
@@ -422,10 +633,14 @@ class InterpreterProgram:
         K = self.K
         n_inputs = self.n_inputs
         mat_loads = self.mat_loads
-        opset = self.opset
+        nmat_loads = self.nmat_loads
+        opset_n, opset_w = self.opset_n, self.opset_w
+        N_N = self.n_narrow_ops
+        p = self.xt.p
+        q_limbs = [int(x) for x in int_to_limbs(p - (1 << 32), L)]
 
         def kernel(starts_ref, opc_ref, ia_ref, ib_ref, ic_ref, dst_ref,
-                   em_ref, aux_ref, cb_ref, in_ref, out_ref, rf):
+                   em_ref, aux_ref, cb_ref, in_ref, out_ref, rf, rf_n):
             c = pl.program_id(1)
             zero = jnp.zeros((8, bb), jnp.uint32)
 
@@ -438,12 +653,16 @@ class InterpreterProgram:
                     for i in range(L):
                         rf[reg, i] = jnp.full((8, bb), np.uint32(limbs[i]),
                                               jnp.uint32)
+                for (reg, sv) in nmat_loads:
+                    rf_n[reg] = jnp.full((8, bb), np.int32(sv), jnp.int32)
 
             def step(t, carry):
                 ia = ia_ref[t]
                 ib = ib_ref[t]
                 ic = ic_ref[t]
                 aux = aux_ref[t]
+                opc = opc_ref[t]
+                dst = dst_ref[t]
 
                 def rd_vv(k, i):
                     idx = (ia, ib, ic)[k]
@@ -490,8 +709,73 @@ class InterpreterProgram:
                             cb_ref[(aux + nterms) * L + j], jnp.uint32)
                     return em.mont_reduce_rows(cols, zero)
 
-                def branch(op):
-                    if op == "dot2_c":
+                def widen_rows():
+                    # narrow signed int32 -> canonical limb rows:
+                    # v >= 0 -> [v & m, v>>16, 0...]; v < 0 -> p + v =
+                    # (p - 2^32) + uint32(v), one static carry chain
+                    v = rf_n[ia]
+                    u = v.astype(jnp.uint32)
+                    lo = u & MASK
+                    hi = (u >> LIMB_BITS) & MASK
+                    neg = v < 0
+                    rows = []
+                    t0 = lo + np.uint32(q_limbs[0])
+                    carry = t0 >> LIMB_BITS
+                    rneg = [t0 & MASK]
+                    t1 = hi + np.uint32(q_limbs[1]) + carry
+                    carry = t1 >> LIMB_BITS
+                    rneg.append(t1 & MASK)
+                    for i in range(2, L):
+                        ti = np.uint32(q_limbs[i]) + carry
+                        rneg.append(ti & MASK)
+                        carry = ti >> LIMB_BITS
+                    rpos = [lo, hi] + [zero] * (L - 2)
+                    for i in range(L):
+                        rows.append(jnp.where(neg, rneg[i], rpos[i]))
+                    return rows
+
+                def shift_w(left):
+                    q = (aux // LIMB_BITS).astype(jnp.int32) \
+                        if hasattr(aux, "astype") else aux // LIMB_BITS
+                    r = (aux % LIMB_BITS).astype(jnp.uint32) \
+                        if hasattr(aux, "astype") else aux % LIMB_BITS
+                    rows = []
+                    for j in range(L):
+                        if left:
+                            idx = j - q
+                            loj = jnp.where(idx >= 0,
+                                            rf[ia, jnp.maximum(idx, 0)],
+                                            zero)
+                            hij = jnp.where(idx - 1 >= 0,
+                                            rf[ia,
+                                               jnp.maximum(idx - 1, 0)],
+                                            zero)
+                            v = ((loj << r) & MASK) \
+                                | (hij >> (LIMB_BITS - r))
+                            rows.append(v & np.uint32(em.mask_list[j]))
+                        else:
+                            idx = j + q
+                            loj = jnp.where(idx < L,
+                                            rf[ia, jnp.minimum(idx, L - 1)],
+                                            zero)
+                            hij = jnp.where(idx + 1 < L,
+                                            rf[ia,
+                                               jnp.minimum(idx + 1, L - 1)],
+                                            zero)
+                            rows.append((loj >> r)
+                                        | ((hij << (LIMB_BITS - r)) & MASK))
+                    if left:
+                        return em.cond_sub(rows, zero, zero)
+                    return rows
+
+                def wbranch(op):
+                    if op == "widen":
+                        rows = widen_rows()
+                    elif op == "shl_kw":
+                        rows = shift_w(True)
+                    elif op == "shr_kw":
+                        rows = shift_w(False)
+                    elif op == "dot2_c":
                         rows = dot(2)
                     elif op == "dot3_c":
                         rows = dot(3)
@@ -518,10 +802,103 @@ class InterpreterProgram:
                     return jnp.stack(
                         [jnp.broadcast_to(r, (8, bb)) for r in rows])
 
-                res = lax.switch(opc_ref[t],
-                                 [lambda op=op: branch(op) for op in opset])
-                rf[dst_ref[t]] = res
-                out_ref[0, em_ref[t]] = res
+                izero = jnp.zeros((8, bb), jnp.int32)
+
+                def as01(mask):
+                    return jnp.where(mask, jnp.int32(1), jnp.int32(0))
+
+                def nnz_wide():
+                    acc = rf[ia, 0]
+                    for i in range(1, L):
+                        acc = acc | rf[ia, i]
+                    return acc != 0
+
+                def nbranch(op):
+                    na = rf_n[ia]
+                    if op == "nmul":
+                        return na * rf_n[ib]
+                    if op == "nadd":
+                        return na + rf_n[ib]
+                    if op == "nsub":
+                        return na - rf_n[ib]
+                    if op == "nsel":
+                        return jnp.where(na != 0, rf_n[ib], rf_n[ic])
+                    if op == "nsel_w":
+                        return jnp.where(nnz_wide(), rf_n[ib], rf_n[ic])
+                    if op == "nband":
+                        return na & rf_n[ib]
+                    if op == "nbor":
+                        return na | rf_n[ib]
+                    if op == "nbxor":
+                        return na ^ rf_n[ib]
+                    if op == "nshl":
+                        return na << aux
+                    if op == "nshr":
+                        return na >> aux
+                    if op == "nband_w":
+                        v = rf[ia, 0] & lax.convert_element_type(
+                            cb_ref[aux * L + 0], jnp.uint32)
+                        if L > 1:
+                            v = v | ((rf[ia, 1] & lax.convert_element_type(
+                                cb_ref[aux * L + 1], jnp.uint32))
+                                << LIMB_BITS)
+                        return v.astype(jnp.int32)
+                    if op == "lnot_n":
+                        return as01(na == 0)
+                    if op == "lnot_w":
+                        return as01(~nnz_wide())
+                    if op.endswith("_nn"):
+                        base = op[:-3]
+                        nb = rf_n[ib]
+                        if base == "eq":
+                            return as01(na == nb)
+                        if base == "neq":
+                            return as01(na != nb)
+                        if base == "lt":
+                            return as01(na < nb)
+                        if base == "le":
+                            return as01(na <= nb)
+                        if base == "gt":
+                            return as01(na > nb)
+                        if base == "ge":
+                            return as01(na >= nb)
+                        if base == "land":
+                            return as01((na != 0) & (nb != 0))
+                        if base == "lor":
+                            return as01((na != 0) | (nb != 0))
+                    if op.endswith("_ww"):
+                        rows = em.emit(op[:-3], rd_vv, None, zero)
+                    else:
+                        raise NotImplementedError(op)
+                    return jnp.broadcast_to(rows[0], (8, bb)) \
+                        .astype(jnp.int32)
+
+                if N_N and opset_w:
+                    @pl.when(opc < N_N)
+                    def _():
+                        res = lax.switch(
+                            opc, [lambda op=op: nbranch(op)
+                                  for op in opset_n])
+                        rf_n[dst] = res
+
+                    @pl.when(opc >= N_N)
+                    def _():
+                        res = lax.switch(
+                            opc - N_N, [lambda op=op: wbranch(op)
+                                        for op in opset_w])
+                        rf[dst] = res
+                        out_ref[0, em_ref[t]] = res
+                elif opset_w:
+                    res = lax.switch(
+                        opc - N_N, [lambda op=op: wbranch(op)
+                                    for op in opset_w])
+                    rf[dst] = res
+                    out_ref[0, em_ref[t]] = res
+                else:
+                    res = lax.switch(
+                        opc, [lambda op=op: nbranch(op)
+                              for op in opset_n])
+                    rf_n[dst] = res
                 return carry
 
             lax.fori_loop(starts_ref[c], starts_ref[c + 1], step, 0)
@@ -562,7 +939,8 @@ class InterpreterProgram:
                                        lambda g, c, *_: (c, 0, 0, 0, g),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
-                    pltpu.VMEM((self.n_regs, L, 8, bb), jnp.uint32)],
+                    pltpu.VMEM((self.n_regs, L, 8, bb), jnp.uint32),
+                    pltpu.VMEM((max(self.n_nregs, 1), 8, bb), jnp.int32)],
             )
             t = self.table
             emits = pl.pallas_call(
@@ -613,11 +991,13 @@ class InterpreterProgram:
 
     def stats(self):
         from collections import Counter
+        opname = list(self.opset_n) + list(self.opset_w)
         return {
             "steps": self.n_steps,
             "chunks": self.n_chunks,
             "regs": self.n_regs,
+            "nregs": self.n_nregs,
             "bank": int(self.cbank.shape[0]),
             "ops": dict(Counter(
-                self.opset[k] for k in self.table[:, 0])),
+                opname[k] for k in self.table[:, 0])),
         }

@@ -47,27 +47,48 @@ _UNSUPPORTED_JAX = {"shl", "shr", "idiv", "mod", "pow"}
 
 
 class DomainTape:
-    """Tape after domain assignment: ops + per-node domain + conversions."""
+    """Tape after domain assignment: ops + per-node domain + conversions.
 
-    def __init__(self, tape: Tape):
+    ``narrow``: source-node ids proven int32-representable by
+    backend/ranges.py — they are pinned to the canonical (NORM) domain
+    so no Montgomery conversions are inserted around them, and their
+    muls are flagged plain (executed on the narrow int32 lane by the
+    interpreter backend)."""
+
+    def __init__(self, tape: Tape, narrow=None):
         self.src = tape
         self.ops = []
         self.args = []
         self.imms = []
         self.domains = []
+        self.narrow = []
         self.n_inputs = tape.n_inputs
         self.outputs = []
-        self._build(tape)
+        self._build(tape, narrow or frozenset())
 
-    def _build(self, tape: Tape):
+    def _build(self, tape: Tape, narrow_src):
         n = len(tape.ops)
         dom = [None] * n
+        plain = set()
         for i in range(n):
             op = tape.ops[i]
             if op == "const":
                 dom[i] = None  # materialized per use
             elif op == "input":
                 dom[i] = NORM
+            elif i in narrow_src:
+                dom[i] = NORM  # narrow values live in canonical form
+            elif op == "mul" and any(
+                    tape.ops[a] == "const" for a in tape.args[i]) and all(
+                    tape.ops[a] == "const" or a in narrow_src
+                    for a in tape.args[i]):
+                # narrow-value * wide-constant (bit-lincomb tails, e.g.
+                # sum(bit*2^k) in SHA adders): a single plain montmul
+                # with the constant pre-scaled by R beats
+                # to_mont + Montgomery mul, and keeps the consuming add
+                # chain in canonical form.
+                dom[i] = NORM
+                plain.add(i)
             elif op in _MONT_OPS:
                 dom[i] = MONT
             elif op in _NORM_OPS:
@@ -82,12 +103,13 @@ class DomainTape:
                         else NORM
         new_id = {}
 
-        def emit(op, args, imm, domain):
+        def emit(op, args, imm, domain, is_narrow=False):
             nid = len(self.ops)
             self.ops.append(op)
             self.args.append(tuple(args))
             self.imms.append(imm)
             self.domains.append(domain)
+            self.narrow.append(is_narrow)
             return nid
 
         def get_in(src_id, want):
@@ -114,18 +136,22 @@ class DomainTape:
             if op == "input":
                 new_id[(i, NORM)] = emit("input", (), tape.imms[i], NORM)
                 continue
+            is_nrw = i in narrow_src
+            is_plain = is_nrw or i in plain
             if op == "select":
                 c, a, b = tape.args[i]
                 d = dom[i]
                 args = (get_in(c, None), get_in(a, d), get_in(b, d))
-            elif op in _MONT_OPS:
+            elif op in _MONT_OPS and not is_plain:
                 args = tuple(get_in(a, MONT) for a in tape.args[i])
-            elif op in _NORM_OPS:
+            elif op in _NORM_OPS or is_plain:
                 args = tuple(get_in(a, NORM) for a in tape.args[i])
             else:
                 d = dom[i]
                 args = tuple(get_in(a, d) for a in tape.args[i])
-            new_id[(i, dom[i])] = emit(op, args, tape.imms[i], dom[i])
+            op_out = "mulp" if (op == "mul" and is_plain) else op
+            new_id[(i, dom[i])] = emit(op_out, args, tape.imms[i], dom[i],
+                                       is_nrw)
 
         for out in tape.outputs:
             self.outputs.append(get_in(out, NORM))
@@ -135,7 +161,7 @@ class WitnessProgram:
     """Executable form of a tape for one field."""
 
     def __init__(self, tape: Tape, spec: FieldSpec, unroll_threshold=4096,
-                 slots=8, mode="auto"):
+                 slots=8, mode="auto", input_ranges=None):
         for op in set(tape.ops):
             if op in _UNSUPPORTED_JAX:
                 raise NotImplementedError(
@@ -144,7 +170,11 @@ class WitnessProgram:
                 )
         self.spec = spec
         self.jf = JaxField(spec)
-        self.dt = DomainTape(tape)
+        from .ranges import narrow_nodes
+
+        self.input_ranges = input_ranges or {}
+        nset, _rng = narrow_nodes(tape, self.input_ranges)
+        self.dt = DomainTape(tape, narrow=nset)
         self.n_inputs = tape.n_inputs
         self.slots = max(1, slots)
         # fused-Pallas paths (production TPU backends): the in-kernel
@@ -361,6 +391,7 @@ class WitnessProgram:
             "add": lambda a, b, c, k: jf.add(a, b),
             "sub": lambda a, b, c, k: jf.sub(a, b),
             "mul": lambda a, b, c, k: jf.mont_mul(a, b),
+            "mulp": lambda a, b, c, k: jf.mul_norm(a, b),
             "div": lambda a, b, c, k: jf.div_mont(a, b),
             "neg": lambda a, b, c, k: jf.neg(a),
             "lt": lambda a, b, c, k: jf.lt(a, b),
@@ -426,6 +457,8 @@ class WitnessProgram:
                 vals[i] = inputs[imm]
             elif op == "mul":
                 vals[i] = jf.mont_mul(vals[args[0]], vals[args[1]])
+            elif op == "mulp":
+                vals[i] = jf.mul_norm(vals[args[0]], vals[args[1]])
             elif op == "add":
                 vals[i] = jf.add(vals[args[0]], vals[args[1]])
             elif op == "sub":

@@ -29,7 +29,7 @@ class UnsupportedTapeOp(NotImplementedError):
 
 # ops that survive planning (everything else is expanded or folded)
 KERNEL_OPS = {
-    "mul", "add", "sub", "select",
+    "mul", "mulp", "add", "sub", "select",
     "eq", "neq", "lt", "le", "gt", "ge",
     "land", "lor", "lnot",
     "band", "bor", "bxor", "bnot",
@@ -41,7 +41,8 @@ class ExpandedTape:
     """Flat post-expansion program over raw limb values."""
 
     __slots__ = ("ops", "args", "imms", "kind", "cval", "iidx",
-                 "out_ids", "live", "n_inputs", "L", "p", "R", "Rinv")
+                 "out_ids", "live", "n_inputs", "L", "p", "R", "Rinv",
+                 "narrow")
 
     def __init__(self, dtape, spec: FieldSpec):
         from ..field.hostfield import HostField
@@ -54,10 +55,11 @@ class ExpandedTape:
         hf = HostField(spec)
 
         ops, args, imms = [], [], []
-        kind, cval, iidx = [], [], []
+        kind, cval, iidx, nrw = [], [], [], []
         const_ids, cse = {}, {}
 
-        def push(op, a=(), imm=None, k="compute", v=None, ii=None):
+        def push(op, a=(), imm=None, k="compute", v=None, ii=None,
+                 narrow=False):
             nid = len(ops)
             ops.append(op)
             args.append(tuple(a))
@@ -65,6 +67,7 @@ class ExpandedTape:
             kind.append(k)
             cval.append(v)
             iidx.append(ii)
+            nrw.append(narrow)
             return nid
 
         def const(v):
@@ -77,6 +80,8 @@ class ExpandedTape:
         def fold(op, vals, imm):
             if op == "mul":
                 return (vals[0] * vals[1] * self.Rinv) % self.p
+            if op == "mulp":
+                return (vals[0] * vals[1]) % self.p
             if op == "add":
                 return (vals[0] + vals[1]) % self.p
             if op == "sub":
@@ -105,13 +110,13 @@ class ExpandedTape:
                 return hf.shift_r(vals[0], imm)
             raise UnsupportedTapeOp(op)
 
-        def emit(op, a, imm=None):
+        def emit(op, a, imm=None, narrow=False):
             if all(kind[x] == "const" for x in a):
                 return const(fold(op, [cval[x] for x in a], imm))
             key = (op, a, imm)
             hit = cse.get(key)
             if hit is None:
-                hit = cse[key] = push(op, a, imm)
+                hit = cse[key] = push(op, a, imm, narrow=narrow)
             return hit
 
         def mul_chain_pow(base, e):
@@ -147,7 +152,7 @@ class ExpandedTape:
                 inv = mul_chain_pow(a[1], self.p - 2)
                 new[i] = emit("mul", (a[0], inv))
             elif op in KERNEL_OPS:
-                new[i] = emit(op, a, imm)
+                new[i] = emit(op, a, imm, narrow=dtape.narrow[i])
             else:
                 raise UnsupportedTapeOp(op)
 
@@ -162,4 +167,5 @@ class ExpandedTape:
             stack.extend(args[x])
         self.ops, self.args, self.imms = ops, args, imms
         self.kind, self.cval, self.iidx = kind, cval, iidx
+        self.narrow = nrw
         self.live = live

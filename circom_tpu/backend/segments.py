@@ -38,6 +38,8 @@ def _op_cost(op, nz_b, L):
     """Approximate native-VPU-op count per (8,128) batch tile."""
     if op == "mul":
         return L * (5 * nz_b + 5 * L) + 6 * L
+    if op == "mulp":
+        return 2 * (L * (5 * nz_b + 5 * L) + 6 * L)
     if op in ("add", "sub"):
         return 6 * L
     if op == "band":

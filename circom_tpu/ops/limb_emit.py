@@ -39,6 +39,7 @@ class LimbEmitter:
         self.L = c["L"]
         self.n0inv = np.uint32(c["n0inv"])
         self.p_list = [int(x) for x in c["p_limbs"]]
+        self.r2_list = [int(x) for x in c["R2_limbs"]]
         self.mask_list = [int(x) for x in c["mask_limbs"]]
         self.half_list = [int(x) for x in c["half_limbs"]]
 
@@ -109,6 +110,16 @@ class LimbEmitter:
 
         if op == "mul":
             return self.emit_mul(rd, zero)
+        if op == "mulp":
+            # plain product a*b mod p: montmul then scale by R^2
+            rows = self.emit_mul(rd, zero)
+
+            def rd2(k, i):
+                if k == 1:
+                    return np.uint32(self.r2_list[i])
+                return rows[i]
+
+            return self.emit_mul(rd2, zero)
         if op == "add":
             carry = zero
             limbs = []

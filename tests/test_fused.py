@@ -193,15 +193,19 @@ def test_witness_program_selects_fused():
     assert isinstance(prog.fused, InterpreterProgram)
 
 
-def test_unsupported_ops_fall_back():
-    """Dynamic shifts are not interpreter ops; segments take over."""
+def test_interp_wide_shifts():
+    """Static shifts now run in the interpreter kernel (dynamic q/r
+    limb addressing); results match the host calculator."""
     src = """
     pragma circom 2.0.0;
     template T() {
       signal input a;
-      signal output o;
-      o <-- a >> 3;
-      o * 0 === 0;
+      signal output o1;
+      signal output o2;
+      o1 <-- a >> 3;
+      o2 <-- a << 5;
+      o1 * 0 === 0;
+      o2 * 0 === 0;
     }
     component main = T();
     """
@@ -210,4 +214,58 @@ def test_unsupported_ops_fall_back():
     cc = compile_source(src, prime=PRIME)
     tape, _ = cc.build_tape()
     prog = WitnessProgram(tape, SPEC)
-    assert isinstance(prog.fused, SegmentedProgram)
+    assert isinstance(prog.fused, InterpreterProgram)
+    rng = random.Random(17)
+    batch = 2
+    cols = [[rng.randrange(SPEC.p) for _ in range(batch)]]
+    arr = np.stack([ints_to_limbs(c, prog.fused.L).T.copy() for c in cols])
+    out = np.asarray(prog.fused._run(arr))
+    for b in range(batch):
+        expect = list(cc.witness_host({"a": cols[0][b]}))
+        got = [limbs_to_int(out[i, :, b]) for i in range(out.shape[0])]
+        assert got == expect
+
+
+def test_narrow_lane_bit_circuit():
+    """Bit-gadget arithmetic (xor via a+b-2ab etc.) runs on the narrow
+    int32 lane; witnesses must match the host calculator exactly."""
+    src = """
+    pragma circom 2.0.0;
+    template T() {
+      signal input x;
+      signal output o1;
+      signal output o2;
+      signal output o3;
+      signal b[4];
+      // bit-decompose the low 4 bits (band against constants narrows)
+      b[0] <-- x & 1;
+      b[1] <-- (x >> 1) & 1;
+      b[2] <-- (x >> 2) & 1;
+      b[3] <-- (x >> 3) & 1;
+      for (var i = 0; i < 4; i++) { b[i] * (b[i] - 1) === 0; }
+      // xor / maj / ch gadgets over the narrowed bits
+      o1 <== b[0] + b[1] - 2*b[0]*b[1];
+      o2 <== b[2] * (b[0] + b[1] - 2*o1) + o1;
+      o3 <-- (b[3] != 0) ? o1 : o2;
+      o3 * 0 === 0;
+    }
+    component main = T();
+    """
+    from circom_tpu.backend.jax_backend import WitnessProgram
+
+    cc = compile_source(src, prime=PRIME)
+    tape, _ = cc.build_tape()
+    prog = WitnessProgram(tape, SPEC)
+    assert isinstance(prog.fused, InterpreterProgram)
+    ops = prog.fused.stats()["ops"]
+    assert any(o.startswith("n") or o == "widen" for o in ops), ops
+    rng = random.Random(23)
+    batch = 3
+    cols = [[rng.randrange(SPEC.p) for _ in range(batch)]]
+    arr = np.stack([ints_to_limbs(c, prog.fused.L).T.copy() for c in cols])
+    out = np.asarray(prog.fused._run(arr))
+    for b in range(batch):
+        expect = list(cc.witness_host({"x": cols[0][b]}))
+        got = [limbs_to_int(out[i, :, b]) for i in range(out.shape[0])]
+        assert got == expect, [(j, g, e) for j, (g, e) in
+                               enumerate(zip(got, expect)) if g != e][:4]
