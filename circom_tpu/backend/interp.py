@@ -38,7 +38,7 @@ from ..field.primes import LIMB_BITS, FieldSpec
 from ..ops.limbs import int_to_limbs
 from ..ops.limb_emit import MASK, LimbEmitter
 from ..ops.jfield import on_tpu
-from .plan import ExpandedTape, UnsupportedTapeOp
+from .plan import ExpandedTape, UnsupportedTapeOp, expanded_ranges
 
 # ops the interpreter kernel supports (shifts need static immediates —
 # those tapes run on the segmented/scan paths instead)
@@ -82,12 +82,14 @@ class InterpreterProgram:
     """Executable interpreter form of a DomainTape for one field."""
 
     def __init__(self, dtape, spec: FieldSpec, *, lanes=None,
-                 chunk_emits=32, interpret=None, max_regs=112):
+                 chunk_emits=32, interpret=None, max_regs=112,
+                 input_ranges=None):
         self.spec = spec
         self.em = LimbEmitter(spec)
         self.L = spec.n_limbs
         self.K = chunk_emits
         self.interpret = interpret
+        self.input_ranges = input_ranges or {}
         self.n_inputs = dtape.n_inputs
         self.xt = ExpandedTape(dtape, spec)
         self._plan(max_regs)
@@ -97,8 +99,8 @@ class InterpreterProgram:
             # buffered in/out blocks inside ~12MB of the 16MB VMEM
             # (256 lanes measured ~4% faster than 128 on Poseidon2)
             rows = (self.n_regs + 2 * (self.K + 2)
-                    + 2 * max(self.n_inputs, 1)
-                    + -(-self.n_nregs // self.L))
+                    + 2 * max(self.n_win, 1)
+                    + -(-(self.n_nregs + self.n_nin) // self.L))
             lanes = 256 if rows * self.L * 8 * 256 * 4 <= 12 << 20 else 128
         self.lanes = lanes
         self._jit = None
@@ -162,10 +164,24 @@ class InterpreterProgram:
                 a = alias[a]
             return a
 
+        # inputs with int32-provable range hints (signal tags) live in
+        # the narrow register file; the rest in the wide one
+        NM31 = (1 << 31) - 1
+        self.nin_of = {}
+        self.win_of = {}
+        for idx in range(self.n_inputs):
+            h = self.input_ranges.get(idx)
+            if h is not None and 0 <= h[0] and h[1] <= NM31:
+                self.nin_of[idx] = len(self.nin_of)
+            else:
+                self.win_of[idx] = len(self.win_of)
+
         node_narrow = {}
         for i0 in range(len(xt.ops)):
             if xt.kind[i0] == "compute":
                 node_narrow[i0] = bool(xt.narrow[i0])
+            elif xt.kind[i0] == "input":
+                node_narrow[i0] = xt.iidx[i0] in self.nin_of
 
         def is_nrw(x):
             return node_narrow.get(x, False)
@@ -272,8 +288,78 @@ class InterpreterProgram:
                 roots[i] = (terms, bares, K_acc)
                 absorbed.update(local)
 
+        # --- narrow-sum reassociation pre-pass ---------------------------
+        # Bit-lincomb adders (sum of bit*2^k, SHA AddModW) arrive as long
+        # WIDE add chains because the source-order partial sums overflow
+        # int32 after ~31 terms.  Field addition is associative:
+        # regroup narrow leaves into int32-safe partial sums (nadd
+        # chains), widen each group once, and wide-add the few groups.
+        rngx = expanded_ranges(xt, self.input_ranges)
+        NM = (1 << 31) - 1
+        nroots = {}
+        for i in reversed(comp):
+            if xt.ops[i] != "add" or is_nrw(i) or i in absorbed \
+                    or i in roots:
+                continue
+            leaves_n, leaves_w, K2, local = [], [], 0, []
+            stack = list(xt.args[i])
+            while stack:
+                x = stack.pop()
+                if xt.kind[x] == "const":
+                    K2 = (K2 + xt.cval[x]) % xt.p
+                    continue
+                if (xt.kind[x] == "compute" and xt.ops[x] == "add"
+                        and not is_nrw(x) and uses.get(x, 0) == 1
+                        and x not in out_set and x not in absorbed
+                        and x not in roots):
+                    local.append(x)
+                    stack.extend(xt.args[x])
+                    continue
+                if is_nrw(x) and rngx[x] is not None:
+                    leaves_n.append(x)
+                else:
+                    leaves_w.append(x)
+            if len(leaves_n) >= 4:
+                nroots[i] = (leaves_n, leaves_w, K2)
+                absorbed.update(local)
+
         for i in comp:
             if i in absorbed:
+                continue
+            if i in nroots:
+                leaves_n, leaves_w, K2 = nroots[i]
+                groups = []
+                cur, lo, hi = [], 0, 0
+                for x in leaves_n:
+                    xlo, xhi = rngx[x]
+                    if cur and not (-NM <= lo + xlo and hi + xhi <= NM):
+                        groups.append(cur)
+                        cur, lo, hi = [], 0, 0
+                    cur.append(x)
+                    lo += xlo
+                    hi += xhi
+                if cur:
+                    groups.append(cur)
+                wparts = [wform(res(x)) for x in leaves_w]
+                for grp in groups:
+                    acc_n = grp[0]
+                    for x in grp[1:]:
+                        nid = synth(True)
+                        steps.append(("nadd", nform(res(acc_n)),
+                                      nform(res(x)), None, nid, None))
+                        acc_n = nid
+                    wparts.append(wide_of(res(acc_n)))
+                acc = wparts[0]
+                for xw in wparts[1:]:
+                    nid = synth()
+                    steps.append(("add", acc, xw, None, nid, None))
+                    acc = nid
+                if K2:
+                    nid = synth()
+                    steps.append(("add_c", acc, ("bank", bank(K2)),
+                                  None, nid, None))
+                    acc = nid
+                alias[i] = acc
                 continue
             if i in roots:
                 terms, bares, K_acc = roots[i]
@@ -465,16 +551,19 @@ class InterpreterProgram:
                       if xt.kind[x] == "compute")
 
         # --- register allocation ---------------------------------------
-        # wide regs: [inputs][materialized consts][dynamic...][trash]
-        # narrow regs: [narrow consts][dynamic...][trash]
-        n_fixed = self.n_inputs + len(mat_ix)
+        # wide regs: [wide inputs][materialized consts][dynamic][trash]
+        # narrow regs: [narrow inputs][narrow consts][dynamic][trash]
+        n_win = len(self.win_of)
+        n_nin = len(self.nin_of)
+        n_fixed = n_win + len(mat_ix)
         self.mat_loads = [
-            (self.n_inputs + r, tuple(int(x) for x in int_to_limbs(v, L)))
+            (n_win + r, tuple(int(x) for x in int_to_limbs(v, L)))
             for v, r in sorted(mat_ix.items(), key=lambda kv: kv[1])
         ]
-        n_nfixed = len(nmat_ix)
+        n_nfixed = n_nin + len(nmat_ix)
         self.nmat_loads = sorted(
-            ((r, sv) for sv, r in nmat_ix.items()), key=lambda kv: kv[0])
+            ((n_nin + r, sv) for sv, r in nmat_ix.items()),
+            key=lambda kv: kv[0])
 
         narrow_ops = sorted({op for (op, *_r) in steps
                              if op in _NARROW_RESULT})
@@ -501,10 +590,12 @@ class InterpreterProgram:
                 if x[0] == "bank":
                     return x[1]
                 if x[0] == "mat":
-                    return self.n_inputs + x[1]
-                return x[1]  # ("nmat", slot)
+                    return n_win + x[1]
+                return n_nin + x[1]  # ("nmat", slot)
             if xt.kind[x] == "input":
-                return xt.iidx[x]
+                idx = xt.iidx[x]
+                return (self.nin_of[idx] if want_narrow
+                        else self.win_of[idx])
             return nreg_of[x] if want_narrow else reg_of[x]
 
         table = np.zeros((max(len(steps), 1), 7), np.int32)
@@ -556,6 +647,7 @@ class InterpreterProgram:
             table[t] = (op_id[op], cols[0], cols[1], cols[2], dst, em,
                         aux if aux is not None else 0)
         starts.append(len(steps))
+        self.n_win, self.n_nin = n_win, n_nin
         self.n_regs = n_fixed + n_dyn_w + 1    # + wide trash
         self.n_nregs = n_nfixed + n_dyn_n + 1  # + narrow trash
         if self.n_regs > max_regs:
@@ -639,16 +731,21 @@ class InterpreterProgram:
         p = self.xt.p
         q_limbs = [int(x) for x in int_to_limbs(p - (1 << 32), L)]
 
+        n_win, n_nin = self.n_win, self.n_nin
+
         def kernel(starts_ref, opc_ref, ia_ref, ib_ref, ic_ref, dst_ref,
-                   em_ref, aux_ref, cb_ref, in_ref, out_ref, rf, rf_n):
+                   em_ref, aux_ref, cb_ref, in_ref, inn_ref, out_ref,
+                   rf, rf_n):
             c = pl.program_id(1)
             zero = jnp.zeros((8, bb), jnp.uint32)
 
             @pl.when(c == 0)
             def _():
-                for k in range(n_inputs):
+                for k in range(n_win):
                     for i in range(L):
                         rf[k, i] = in_ref[k, i]
+                for k in range(n_nin):
+                    rf_n[k] = inn_ref[k]
                 for (reg, limbs) in mat_loads:
                     for i in range(L):
                         rf[reg, i] = jnp.full((8, bb), np.uint32(limbs[i]),
@@ -926,14 +1023,35 @@ class InterpreterProgram:
         if self.n_steps:
             interp = (not on_tpu()) \
                 if self.interpret is None else self.interpret
+            # split inputs: wide ones feed the limb register file, range-
+            # hinted narrow ones convert to int32 (exact: value < 2^31)
+            order_w = sorted(self.win_of, key=self.win_of.get)
+            order_n = sorted(self.nin_of, key=self.nin_of.get)
+            if order_w:
+                x_w = x[np.asarray(order_w)]
+            else:
+                x_w = jnp.zeros((1, L, 8, B8), jnp.uint32)
+            if order_n:
+                xs = x[np.asarray(order_n)]
+                x_n = xs[:, 0].astype(jnp.int32)
+                if L > 1:
+                    x_n = x_n | (xs[:, 1].astype(jnp.int32)
+                                 << LIMB_BITS)
+            else:
+                x_n = jnp.zeros((1, 8, B8), jnp.int32)
+            n_win_b = max(self.n_win, 1)
+            n_nin_b = max(self.n_nin, 1)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 # 1D tables only: SMEM pads the minor dim to 128 lanes,
                 # so a (n,6) table costs 512B/row (measured OOM at 1879
                 # steps); six 1D arrays cost 4B/step.
                 num_scalar_prefetch=9,
                 grid=(pl.cdiv(B8, bb), self.n_chunks),
-                in_specs=[pl.BlockSpec((n_in_prog, L, 8, bb),
+                in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
                                        lambda g, c, *_: (0, 0, 0, g),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((n_nin_b, 8, bb),
+                                       lambda g, c, *_: (0, 0, g),
                                        memory_space=pltpu.VMEM)],
                 out_specs=pl.BlockSpec((1, K + 1, L, 8, bb),
                                        lambda g, c, *_: (c, 0, 0, 0, g),
@@ -953,7 +1071,7 @@ class InterpreterProgram:
               np.ascontiguousarray(t[:, 1]), np.ascontiguousarray(t[:, 2]),
               np.ascontiguousarray(t[:, 3]), np.ascontiguousarray(t[:, 4]),
               np.ascontiguousarray(t[:, 5]), np.ascontiguousarray(t[:, 6]),
-              self.cbank.reshape(-1), x)
+              self.cbank.reshape(-1), x_w, x_n)
             flat = emits.reshape(self.n_chunks * (K + 1), L, 8, B8)
         else:
             flat = jnp.zeros((1, L, 8, B8), jnp.uint32)

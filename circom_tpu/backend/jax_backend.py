@@ -188,7 +188,8 @@ class WitnessProgram:
             try:
                 from .interp import InterpreterProgram
 
-                self.fused = InterpreterProgram(self.dt, spec)
+                self.fused = InterpreterProgram(
+                    self.dt, spec, input_ranges=self.input_ranges)
             except NotImplementedError:
                 if mode == "interp":
                     raise

@@ -169,3 +169,83 @@ class ExpandedTape:
         self.kind, self.cval, self.iidx = kind, cval, iidx
         self.narrow = nrw
         self.live = live
+
+
+NARROW_MAX = (1 << 31) - 1
+
+
+def expanded_ranges(xt: "ExpandedTape", input_ranges=None):
+    """Signed intervals over ExpandedTape nodes (None = wide/unknown).
+
+    Mirrors backend/ranges.py on the post-expansion opset: Montgomery
+    muls are wide by construction; `mulp` is a plain product.  Used by
+    the interpreter to reassociate wide add trees into int32-safe
+    narrow partial sums (bit-lincomb adders)."""
+    input_ranges = input_ranges or {}
+    p = xt.p
+    half = p >> 1
+    bits = p.bit_length()
+    mask = (1 << bits) - 1
+    n = len(xt.ops)
+    rng = [None] * n
+
+    def ok(lo, hi):
+        return -NARROW_MAX <= lo and hi <= NARROW_MAX
+
+    for i in range(n):
+        k = xt.kind[i]
+        if k == "const":
+            v = xt.cval[i]
+            s = v if v <= half else v - p
+            if abs(s) <= NARROW_MAX:
+                rng[i] = (s, s)
+            continue
+        if k == "input":
+            rng[i] = input_ranges.get(xt.iidx[i])
+            continue
+        op = xt.ops[i]
+        r = [rng[x] for x in xt.args[i]]
+        imm = xt.imms[i]
+        if op in ("eq", "neq", "lt", "le", "gt", "ge",
+                  "land", "lor", "lnot"):
+            rng[i] = (0, 1)
+        elif op == "add" and None not in r:
+            lo, hi = r[0][0] + r[1][0], r[0][1] + r[1][1]
+            if ok(lo, hi):
+                rng[i] = (lo, hi)
+        elif op == "sub" and None not in r:
+            lo, hi = r[0][0] - r[1][1], r[0][1] - r[1][0]
+            if ok(lo, hi):
+                rng[i] = (lo, hi)
+        elif op == "mulp" and None not in r:
+            cs = [x * y for x in r[0] for y in r[1]]
+            lo, hi = min(cs), max(cs)
+            if ok(lo, hi):
+                rng[i] = (lo, hi)
+        elif op == "select" and r[1] is not None and r[2] is not None:
+            rng[i] = (min(r[1][0], r[2][0]), max(r[1][1], r[2][1]))
+        elif op == "band":
+            bounds = []
+            for x, rx in zip(xt.args[i], r):
+                if xt.kind[x] == "const":
+                    bounds.append(xt.cval[x])
+                elif rx is not None and rx[0] >= 0:
+                    bounds.append(rx[1])
+                else:
+                    bounds.append(None)
+            known = [b for b in bounds if b is not None]
+            if known and min(known) <= NARROW_MAX:
+                rng[i] = (0, min(known))
+        elif op in ("bor", "bxor") and None not in r \
+                and r[0][0] >= 0 and r[1][0] >= 0:
+            hi = max(r[0][1], r[1][1])
+            hi = (1 << hi.bit_length()) - 1
+            if hi <= NARROW_MAX:
+                rng[i] = (0, hi)
+        elif op == "shr_k" and r[0] is not None and r[0][0] >= 0:
+            rng[i] = (r[0][0] >> imm, r[0][1] >> imm)
+        elif op == "shl_k" and r[0] is not None and r[0][0] >= 0:
+            hi = r[0][1] << imm
+            if hi <= NARROW_MAX and hi <= mask and hi < p:
+                rng[i] = (r[0][0] << imm, hi)
+    return rng

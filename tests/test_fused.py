@@ -269,3 +269,75 @@ def test_narrow_lane_bit_circuit():
         got = [limbs_to_int(out[i, :, b]) for i in range(out.shape[0])]
         assert got == expect, [(j, g, e) for j, (g, e) in
                                enumerate(zip(got, expect)) if g != e][:4]
+
+
+def test_narrow_inputs_via_range_hints():
+    """Range-hinted inputs live in the narrow int32 register file;
+    values within the hint produce host-identical witnesses."""
+    src = """
+    pragma circom 2.0.0;
+    template T() {
+      signal input b[4];
+      signal output o[4];
+      for (var i = 0; i < 4; i++) { b[i] * (b[i] - 1) === 0; }
+      for (var i = 0; i < 4; i++) {
+        o[i] <== b[i] + b[(i+1)%4] - 2*b[i]*b[(i+1)%4];
+      }
+    }
+    component main = T();
+    """
+    from circom_tpu.backend.jax_backend import WitnessProgram
+
+    cc = compile_source(src, prime=PRIME)
+    tape, _ = cc.build_tape()
+    hints = {i: (0, 1) for i in range(tape.n_inputs)}
+    prog = WitnessProgram(tape, SPEC, input_ranges=hints)
+    assert isinstance(prog.fused, InterpreterProgram)
+    assert prog.fused.n_nin == 4 and prog.fused.n_win == 0
+    rng = random.Random(31)
+    batch = 2
+    cols = [[rng.randrange(2) for _ in range(batch)] for _ in range(4)]
+    arr = np.stack([ints_to_limbs(c, prog.fused.L).T.copy() for c in cols])
+    out = np.asarray(prog.fused._run(arr))
+    for b in range(batch):
+        expect = list(cc.witness_host(
+            {"b": [cols[i][b] for i in range(4)]}))
+        got = [limbs_to_int(out[i, :, b]) for i in range(out.shape[0])]
+        assert got == expect
+
+
+def test_narrow_sum_reassociation():
+    """Long bit lincombs regroup into int32-safe narrow partial sums."""
+    terms = " + ".join(f"b[{i}] * {1 << (i % 34)}" for i in range(40))
+    decomp = "\n".join(
+        f"      b[{i}] <-- (x >> {i}) & 1;\n"
+        f"      b[{i}] * (b[{i}] - 1) === 0;" for i in range(40))
+    src = f"""
+    pragma circom 2.0.0;
+    template T() {{
+      signal input x;
+      signal output o;
+      signal b[40];
+{decomp}
+      o <== {terms};
+    }}
+    component main = T();
+    """
+    from circom_tpu.backend.jax_backend import WitnessProgram
+
+    cc = compile_source(src, prime=PRIME)
+    tape, _ = cc.build_tape()
+    prog = WitnessProgram(tape, SPEC)
+    assert isinstance(prog.fused, InterpreterProgram)
+    ops = prog.fused.stats()["ops"]
+    assert ops.get("nadd", 0) >= 20, ops  # regrouped narrow sums
+    rng = random.Random(37)
+    batch = 2
+    cols = [[rng.randrange(SPEC.p) for _ in range(batch)]]
+    arr = np.stack([ints_to_limbs(c, prog.fused.L).T.copy() for c in cols])
+    out = np.asarray(prog.fused._run(arr))
+    for b in range(batch):
+        expect = list(cc.witness_host({"x": cols[0][b]}))
+        got = [limbs_to_int(out[i, :, b]) for i in range(out.shape[0])]
+        assert got == expect, [(j, g, e) for j, (g, e) in
+                               enumerate(zip(got, expect)) if g != e][:4]
