@@ -82,26 +82,38 @@ class InterpreterProgram:
     """Executable interpreter form of a DomainTape for one field."""
 
     def __init__(self, dtape, spec: FieldSpec, *, lanes=None,
-                 chunk_emits=32, interpret=None, max_regs=112,
-                 input_ranges=None):
+                 chunk_emits=32, interpret=None, max_regs=2048,
+                 input_ranges=None, max_call_steps=24_000):
+        # max_regs is a sanity backstop; actual capacity is enforced by
+        # the VMEM-aware lane selection below (narrow batch blocks for
+        # register-heavy circuits).
         self.spec = spec
         self.em = LimbEmitter(spec)
         self.L = spec.n_limbs
         self.K = chunk_emits
         self.interpret = interpret
         self.input_ranges = input_ranges or {}
+        self.max_call_steps = max_call_steps
         self.n_inputs = dtape.n_inputs
         self.xt = ExpandedTape(dtape, spec)
         self._plan(max_regs)
         self.n_witness = len(self.xt.out_ids)
         if lanes is None:
-            # widest batch block that keeps the register file + double-
-            # buffered in/out blocks inside ~12MB of the 16MB VMEM
+            # widest batch block that keeps the register files + double-
+            # buffered in/out blocks inside ~13MB of the 16MB VMEM
             # (256 lanes measured ~4% faster than 128 on Poseidon2)
-            rows = (self.n_regs + 2 * (self.K + 2)
-                    + 2 * max(self.n_win, 1)
-                    + -(-(self.n_nregs + self.n_nin) // self.L))
-            lanes = 256 if rows * self.L * 8 * 256 * 4 <= 12 << 20 else 128
+            tiles = (self.n_regs * self.L + self.n_nregs
+                     + 2 * (self.K + 2) * self.L
+                     + 2 * max(self.n_win, 1) * self.L
+                     + max(self.n_nin, 1))
+            lanes = 8
+            for cand in (256, 128, 64, 32, 16, 8):
+                if tiles * 8 * cand * 4 <= 13 << 20:
+                    lanes = cand
+                    break
+            if tiles * 8 * 8 * 4 > 13 << 20:
+                raise UnsupportedTapeOp(
+                    f"register files exceed VMEM ({tiles} tiles)")
         self.lanes = lanes
         self._jit = None
 
@@ -664,6 +676,21 @@ class InterpreterProgram:
         self.starts = np.asarray(starts, np.int32)
         self.n_chunks = len(starts) - 1
         self.n_steps = len(steps)
+        # --- instruction-table paging: SMEM holds ~1MB, so tapes are
+        # split into CALLS of <= max_call_steps; the register files hand
+        # off through HBM between calls.  All calls share one padded
+        # table shape (one Mosaic kernel).
+        MAXS = self.max_call_steps
+        calls = []  # (chunk_lo, chunk_hi, s0, s1)
+        lo = 0
+        for c in range(self.n_chunks):
+            if starts[c + 1] - starts[lo] > MAXS and c > lo:
+                calls.append((lo, c, starts[lo], starts[c]))
+                lo = c
+        calls.append((lo, self.n_chunks, starts[lo], starts[-1]))
+        self.calls = calls
+        self.call_steps = max((s1 - s0) for (_a, _b, s0, s1) in calls)
+        self.call_chunks = max((b - a) for (a, b, _s, _t) in calls)
         # const bank (scalar-prefetched, int32)
         if not bank_vals:
             bank_vals.append(0)
@@ -732,15 +759,34 @@ class InterpreterProgram:
         q_limbs = [int(x) for x in int_to_limbs(p - (1 << 32), L)]
 
         n_win, n_nin = self.n_win, self.n_nin
+        handoff = len(self.calls) > 1
+        n_cc = self.call_chunks
 
         def kernel(starts_ref, opc_ref, ia_ref, ib_ref, ic_ref, dst_ref,
-                   em_ref, aux_ref, cb_ref, in_ref, inn_ref, out_ref,
-                   rf, rf_n):
+                   em_ref, aux_ref, cb_ref, in_ref, inn_ref, *rest):
+            if handoff:
+                (rfw_in, rfn_in, out_ref, rfw_out, rfn_out,
+                 rf, rf_n, sem) = rest
+            else:
+                out_ref, rf, rf_n = rest
+            g = pl.program_id(0)
             c = pl.program_id(1)
             zero = jnp.zeros((8, bb), jnp.uint32)
 
             @pl.when(c == 0)
             def _():
+                if handoff:
+                    # restore the register files from the previous call
+                    cp = pltpu.make_async_copy(
+                        rfw_in.at[:, :, :, pl.ds(g * bb, bb)], rf,
+                        sem.at[0])
+                    cp.start()
+                    cp2 = pltpu.make_async_copy(
+                        rfn_in.at[:, :, pl.ds(g * bb, bb)], rf_n,
+                        sem.at[1])
+                    cp2.start()
+                    cp.wait()
+                    cp2.wait()
                 for k in range(n_win):
                     for i in range(L):
                         rf[k, i] = in_ref[k, i]
@@ -1000,6 +1046,20 @@ class InterpreterProgram:
 
             lax.fori_loop(starts_ref[c], starts_ref[c + 1], step, 0)
 
+            if handoff:
+                @pl.when(c == n_cc - 1)
+                def _():
+                    cp = pltpu.make_async_copy(
+                        rf, rfw_out.at[:, :, :, pl.ds(g * bb, bb)],
+                        sem.at[0])
+                    cp.start()
+                    cp2 = pltpu.make_async_copy(
+                        rf_n, rfn_out.at[:, :, pl.ds(g * bb, bb)],
+                        sem.at[1])
+                    cp2.start()
+                    cp.wait()
+                    cp2.wait()
+
         return kernel
 
     # ------------------------------------------------------------------
@@ -1041,38 +1101,103 @@ class InterpreterProgram:
                 x_n = jnp.zeros((1, 8, B8), jnp.int32)
             n_win_b = max(self.n_win, 1)
             n_nin_b = max(self.n_nin, 1)
-            grid_spec = pltpu.PrefetchScalarGridSpec(
-                # 1D tables only: SMEM pads the minor dim to 128 lanes,
-                # so a (n,6) table costs 512B/row (measured OOM at 1879
-                # steps); six 1D arrays cost 4B/step.
-                num_scalar_prefetch=9,
-                grid=(pl.cdiv(B8, bb), self.n_chunks),
-                in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
-                                       lambda g, c, *_: (0, 0, 0, g),
-                                       memory_space=pltpu.VMEM),
-                          pl.BlockSpec((n_nin_b, 8, bb),
-                                       lambda g, c, *_: (0, 0, g),
-                                       memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec((1, K + 1, L, 8, bb),
-                                       lambda g, c, *_: (c, 0, 0, 0, g),
-                                       memory_space=pltpu.VMEM),
-                scratch_shapes=[
-                    pltpu.VMEM((self.n_regs, L, 8, bb), jnp.uint32),
-                    pltpu.VMEM((max(self.n_nregs, 1), 8, bb), jnp.int32)],
-            )
             t = self.table
-            emits = pl.pallas_call(
-                self._make_kernel(bb),
-                out_shape=jax.ShapeDtypeStruct(
-                    (self.n_chunks, K + 1, L, 8, B8), jnp.uint32),
-                grid_spec=grid_spec,
-                interpret=interp,
-            )(self.starts, np.ascontiguousarray(t[:, 0]),
-              np.ascontiguousarray(t[:, 1]), np.ascontiguousarray(t[:, 2]),
-              np.ascontiguousarray(t[:, 3]), np.ascontiguousarray(t[:, 4]),
-              np.ascontiguousarray(t[:, 5]), np.ascontiguousarray(t[:, 6]),
-              self.cbank.reshape(-1), x_w, x_n)
-            flat = emits.reshape(self.n_chunks * (K + 1), L, 8, B8)
+            if len(self.calls) == 1:
+                grid_spec = pltpu.PrefetchScalarGridSpec(
+                    # 1D tables only: SMEM pads the minor dim to 128
+                    # lanes, so a (n,6) table costs 512B/row (measured
+                    # OOM at 1879 steps); 1D arrays cost 4B/step.
+                    num_scalar_prefetch=9,
+                    grid=(pl.cdiv(B8, bb), self.n_chunks),
+                    in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
+                                           lambda g, c, *_: (0, 0, 0, g),
+                                           memory_space=pltpu.VMEM),
+                              pl.BlockSpec((n_nin_b, 8, bb),
+                                           lambda g, c, *_: (0, 0, g),
+                                           memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec((1, K + 1, L, 8, bb),
+                                           lambda g, c, *_:
+                                           (c, 0, 0, 0, g),
+                                           memory_space=pltpu.VMEM),
+                    scratch_shapes=[
+                        pltpu.VMEM((self.n_regs, L, 8, bb), jnp.uint32),
+                        pltpu.VMEM((max(self.n_nregs, 1), 8, bb),
+                                   jnp.int32)],
+                )
+                emits = pl.pallas_call(
+                    self._make_kernel(bb),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (self.n_chunks, K + 1, L, 8, B8), jnp.uint32),
+                    grid_spec=grid_spec,
+                    interpret=interp,
+                )(self.starts, np.ascontiguousarray(t[:, 0]),
+                  np.ascontiguousarray(t[:, 1]),
+                  np.ascontiguousarray(t[:, 2]),
+                  np.ascontiguousarray(t[:, 3]),
+                  np.ascontiguousarray(t[:, 4]),
+                  np.ascontiguousarray(t[:, 5]),
+                  np.ascontiguousarray(t[:, 6]),
+                  self.cbank.reshape(-1), x_w, x_n)
+                flat = emits.reshape(self.n_chunks * (K + 1), L, 8, B8)
+            else:
+                # multi-call paging: each call interprets a table slice
+                # (padded to one shared shape = one Mosaic kernel) and
+                # the register files ride through HBM between calls
+                CS, CC = self.call_steps, self.call_chunks
+                kernel = self._make_kernel(bb)
+                grid_spec = pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=9,
+                    grid=(pl.cdiv(B8, bb), CC),
+                    in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
+                                           lambda g, c, *_: (0, 0, 0, g),
+                                           memory_space=pltpu.VMEM),
+                              pl.BlockSpec((n_nin_b, 8, bb),
+                                           lambda g, c, *_: (0, 0, g),
+                                           memory_space=pltpu.VMEM),
+                              pl.BlockSpec(memory_space=pltpu.ANY),
+                              pl.BlockSpec(memory_space=pltpu.ANY)],
+                    out_specs=(pl.BlockSpec((1, K + 1, L, 8, bb),
+                                            lambda g, c, *_:
+                                            (c, 0, 0, 0, g),
+                                            memory_space=pltpu.VMEM),
+                               pl.BlockSpec(memory_space=pltpu.ANY),
+                               pl.BlockSpec(memory_space=pltpu.ANY)),
+                    scratch_shapes=[
+                        pltpu.VMEM((self.n_regs, L, 8, bb), jnp.uint32),
+                        pltpu.VMEM((max(self.n_nregs, 1), 8, bb),
+                                   jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))],
+                )
+                rf_w = jnp.zeros((self.n_regs, L, 8, B8), jnp.uint32)
+                rf_nn = jnp.zeros((max(self.n_nregs, 1), 8, B8),
+                                  jnp.int32)
+                parts = []
+                for (a, b, s0, s1) in self.calls:
+                    tb = np.zeros((CS, 7), np.int32)
+                    tb[:s1 - s0] = t[s0:s1]
+                    st = np.empty(CC + 1, np.int32)
+                    seg = self.starts[a:b + 1] - s0
+                    st[:len(seg)] = seg
+                    st[len(seg):] = seg[-1]
+                    emits_i, rf_w, rf_nn = pl.pallas_call(
+                        kernel,
+                        out_shape=(
+                            jax.ShapeDtypeStruct(
+                                (CC, K + 1, L, 8, B8), jnp.uint32),
+                            jax.ShapeDtypeStruct(rf_w.shape, jnp.uint32),
+                            jax.ShapeDtypeStruct(rf_nn.shape, jnp.int32)),
+                        grid_spec=grid_spec,
+                        interpret=interp,
+                    )(st, np.ascontiguousarray(tb[:, 0]),
+                      np.ascontiguousarray(tb[:, 1]),
+                      np.ascontiguousarray(tb[:, 2]),
+                      np.ascontiguousarray(tb[:, 3]),
+                      np.ascontiguousarray(tb[:, 4]),
+                      np.ascontiguousarray(tb[:, 5]),
+                      np.ascontiguousarray(tb[:, 6]),
+                      self.cbank.reshape(-1), x_w, x_n, rf_w, rf_nn)
+                    parts.append(emits_i.reshape(CC * (K + 1), L, 8, B8))
+                flat = jnp.concatenate(parts, axis=0)
         else:
             flat = jnp.zeros((1, L, 8, B8), jnp.uint32)
 
@@ -1081,9 +1206,19 @@ class InterpreterProgram:
         const_pos = {}
         idx = []
         n_flat = flat.shape[0]
+        if self.n_steps and len(self.calls) > 1:
+            CC = self.call_chunks
+            chunk_base = []
+            for ci, (a, b, _s0, _s1) in enumerate(self.calls):
+                for g in range(a, b):
+                    chunk_base.append(ci * CC * (K + 1)
+                                      + (g - a) * (K + 1))
+        else:
+            chunk_base = [g * (K + 1) for g in range(self.n_chunks)] \
+                if self.n_steps else []
         for src in self.wit_src:
             if src[0] == "emit":
-                idx.append(src[1] * (K + 1) + src[2])
+                idx.append(chunk_base[src[1]] + src[2])
             elif src[0] == "input":
                 idx.append(n_flat + src[1])
             else:

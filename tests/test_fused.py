@@ -341,3 +341,30 @@ def test_narrow_sum_reassociation():
         got = [limbs_to_int(out[i, :, b]) for i in range(out.shape[0])]
         assert got == expect, [(j, g, e) for j, (g, e) in
                                enumerate(zip(got, expect)) if g != e][:4]
+
+
+def test_interp_multi_call_paging():
+    """Instruction tables exceeding one call split into multiple
+    pallas calls with the register files handed off through HBM."""
+    src = """
+    pragma circom 2.0.0;
+    template T() { signal input x; signal output y[4];
+      y[0] <== x * x + 1;
+      y[1] <== y[0] * x + 2;
+      y[2] <== y[1] * y[0];
+      y[3] <== y[2] * x - y[1];
+    }
+    component main = T();
+    """
+    cc = compile_source(src, prime=PRIME)
+    tape, _ = cc.build_tape()
+    dt = DomainTape(tape)
+    sp = InterpreterProgram(dt, SPEC, chunk_emits=2, max_call_steps=4)
+    assert len(sp.calls) > 1
+    cols = [[5, 11]]
+    arr = np.stack([ints_to_limbs(c, sp.L).T.copy() for c in cols])
+    out = np.asarray(sp._run(arr))
+    for b in range(2):
+        expect = list(cc.witness_host({"x": cols[0][b]}))
+        got = [limbs_to_int(out[i, :, b]) for i in range(out.shape[0])]
+        assert got == expect
