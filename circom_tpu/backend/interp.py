@@ -746,7 +746,7 @@ class InterpreterProgram:
         return order
 
     # ------------------------------------------------------------------
-    def _make_kernel(self, bb):
+    def _make_kernel(self, bb, whole=False):
         L = self.L
         em = self.em
         K = self.K
@@ -777,13 +777,15 @@ class InterpreterProgram:
             def _():
                 if handoff:
                     # restore the register files from the previous call
-                    cp = pltpu.make_async_copy(
-                        rfw_in.at[:, :, :, pl.ds(g * bb, bb)], rf,
-                        sem.at[0])
+                    # (whole-ref copies when the batch block covers the
+                    # array: Mosaic rejects minor-dim slices in VMEM)
+                    src_w = rfw_in if whole else \
+                        rfw_in.at[:, :, :, pl.ds(g * bb, bb)]
+                    src_n = rfn_in if whole else \
+                        rfn_in.at[:, :, pl.ds(g * bb, bb)]
+                    cp = pltpu.make_async_copy(src_w, rf, sem.at[0])
                     cp.start()
-                    cp2 = pltpu.make_async_copy(
-                        rfn_in.at[:, :, pl.ds(g * bb, bb)], rf_n,
-                        sem.at[1])
+                    cp2 = pltpu.make_async_copy(src_n, rf_n, sem.at[1])
                     cp2.start()
                     cp.wait()
                     cp2.wait()
@@ -1049,13 +1051,13 @@ class InterpreterProgram:
             if handoff:
                 @pl.when(c == n_cc - 1)
                 def _():
-                    cp = pltpu.make_async_copy(
-                        rf, rfw_out.at[:, :, :, pl.ds(g * bb, bb)],
-                        sem.at[0])
+                    dst_w = rfw_out if whole else \
+                        rfw_out.at[:, :, :, pl.ds(g * bb, bb)]
+                    dst_n = rfn_out if whole else \
+                        rfn_out.at[:, :, pl.ds(g * bb, bb)]
+                    cp = pltpu.make_async_copy(rf, dst_w, sem.at[0])
                     cp.start()
-                    cp2 = pltpu.make_async_copy(
-                        rf_n, rfn_out.at[:, :, pl.ds(g * bb, bb)],
-                        sem.at[1])
+                    cp2 = pltpu.make_async_copy(rf_n, dst_n, sem.at[1])
                     cp2.start()
                     cp.wait()
                     cp2.wait()
@@ -1070,7 +1072,7 @@ class InterpreterProgram:
         n_in_prog = max(self.n_inputs, 1)
         _n, _L, B = inputs.shape
         bb = self.lanes
-        unit = 8 * bb if B >= 8 * bb else 8
+        unit = 8 * bb if (B >= 8 * bb or bb < 128) else 8
         Bp = -(-B // unit) * unit
         if Bp != B:
             inputs = jnp.pad(inputs, ((0, 0), (0, 0), (0, Bp - B)))
@@ -1099,105 +1101,19 @@ class InterpreterProgram:
                                  << LIMB_BITS)
             else:
                 x_n = jnp.zeros((1, 8, B8), jnp.int32)
-            n_win_b = max(self.n_win, 1)
-            n_nin_b = max(self.n_nin, 1)
-            t = self.table
-            if len(self.calls) == 1:
-                grid_spec = pltpu.PrefetchScalarGridSpec(
-                    # 1D tables only: SMEM pads the minor dim to 128
-                    # lanes, so a (n,6) table costs 512B/row (measured
-                    # OOM at 1879 steps); 1D arrays cost 4B/step.
-                    num_scalar_prefetch=9,
-                    grid=(pl.cdiv(B8, bb), self.n_chunks),
-                    in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
-                                           lambda g, c, *_: (0, 0, 0, g),
-                                           memory_space=pltpu.VMEM),
-                              pl.BlockSpec((n_nin_b, 8, bb),
-                                           lambda g, c, *_: (0, 0, g),
-                                           memory_space=pltpu.VMEM)],
-                    out_specs=pl.BlockSpec((1, K + 1, L, 8, bb),
-                                           lambda g, c, *_:
-                                           (c, 0, 0, 0, g),
-                                           memory_space=pltpu.VMEM),
-                    scratch_shapes=[
-                        pltpu.VMEM((self.n_regs, L, 8, bb), jnp.uint32),
-                        pltpu.VMEM((max(self.n_nregs, 1), 8, bb),
-                                   jnp.int32)],
-                )
-                emits = pl.pallas_call(
-                    self._make_kernel(bb),
-                    out_shape=jax.ShapeDtypeStruct(
-                        (self.n_chunks, K + 1, L, 8, B8), jnp.uint32),
-                    grid_spec=grid_spec,
-                    interpret=interp,
-                )(self.starts, np.ascontiguousarray(t[:, 0]),
-                  np.ascontiguousarray(t[:, 1]),
-                  np.ascontiguousarray(t[:, 2]),
-                  np.ascontiguousarray(t[:, 3]),
-                  np.ascontiguousarray(t[:, 4]),
-                  np.ascontiguousarray(t[:, 5]),
-                  np.ascontiguousarray(t[:, 6]),
-                  self.cbank.reshape(-1), x_w, x_n)
-                flat = emits.reshape(self.n_chunks * (K + 1), L, 8, B8)
+            if bb < 128 and B8 > bb:
+                # Mosaic requires minor block dims 128-divisible or
+                # equal to the array dim: register-heavy circuits with
+                # sub-128 lanes run the batch in whole-array slices
+                parts_b = [
+                    self._exec_block(x_w[..., s0:s0 + bb],
+                                     x_n[..., s0:s0 + bb], bb, bb,
+                                     interp)
+                    for s0 in range(0, B8, bb)
+                ]
+                flat = jnp.concatenate(parts_b, axis=-1)
             else:
-                # multi-call paging: each call interprets a table slice
-                # (padded to one shared shape = one Mosaic kernel) and
-                # the register files ride through HBM between calls
-                CS, CC = self.call_steps, self.call_chunks
-                kernel = self._make_kernel(bb)
-                grid_spec = pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=9,
-                    grid=(pl.cdiv(B8, bb), CC),
-                    in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
-                                           lambda g, c, *_: (0, 0, 0, g),
-                                           memory_space=pltpu.VMEM),
-                              pl.BlockSpec((n_nin_b, 8, bb),
-                                           lambda g, c, *_: (0, 0, g),
-                                           memory_space=pltpu.VMEM),
-                              pl.BlockSpec(memory_space=pltpu.ANY),
-                              pl.BlockSpec(memory_space=pltpu.ANY)],
-                    out_specs=(pl.BlockSpec((1, K + 1, L, 8, bb),
-                                            lambda g, c, *_:
-                                            (c, 0, 0, 0, g),
-                                            memory_space=pltpu.VMEM),
-                               pl.BlockSpec(memory_space=pltpu.ANY),
-                               pl.BlockSpec(memory_space=pltpu.ANY)),
-                    scratch_shapes=[
-                        pltpu.VMEM((self.n_regs, L, 8, bb), jnp.uint32),
-                        pltpu.VMEM((max(self.n_nregs, 1), 8, bb),
-                                   jnp.int32),
-                        pltpu.SemaphoreType.DMA((2,))],
-                )
-                rf_w = jnp.zeros((self.n_regs, L, 8, B8), jnp.uint32)
-                rf_nn = jnp.zeros((max(self.n_nregs, 1), 8, B8),
-                                  jnp.int32)
-                parts = []
-                for (a, b, s0, s1) in self.calls:
-                    tb = np.zeros((CS, 7), np.int32)
-                    tb[:s1 - s0] = t[s0:s1]
-                    st = np.empty(CC + 1, np.int32)
-                    seg = self.starts[a:b + 1] - s0
-                    st[:len(seg)] = seg
-                    st[len(seg):] = seg[-1]
-                    emits_i, rf_w, rf_nn = pl.pallas_call(
-                        kernel,
-                        out_shape=(
-                            jax.ShapeDtypeStruct(
-                                (CC, K + 1, L, 8, B8), jnp.uint32),
-                            jax.ShapeDtypeStruct(rf_w.shape, jnp.uint32),
-                            jax.ShapeDtypeStruct(rf_nn.shape, jnp.int32)),
-                        grid_spec=grid_spec,
-                        interpret=interp,
-                    )(st, np.ascontiguousarray(tb[:, 0]),
-                      np.ascontiguousarray(tb[:, 1]),
-                      np.ascontiguousarray(tb[:, 2]),
-                      np.ascontiguousarray(tb[:, 3]),
-                      np.ascontiguousarray(tb[:, 4]),
-                      np.ascontiguousarray(tb[:, 5]),
-                      np.ascontiguousarray(tb[:, 6]),
-                      self.cbank.reshape(-1), x_w, x_n, rf_w, rf_nn)
-                    parts.append(emits_i.reshape(CC * (K + 1), L, 8, B8))
-                flat = jnp.concatenate(parts, axis=0)
+                flat = self._exec_block(x_w, x_n, B8, bb, interp)
         else:
             flat = jnp.zeros((1, L, 8, B8), jnp.uint32)
 
@@ -1236,6 +1152,111 @@ class InterpreterProgram:
         big = jnp.concatenate(banks, axis=0)
         wit = jnp.take(big, jnp.asarray(idx, np.int32), axis=0)
         return wit.reshape(len(idx), L, Bp)[..., :B]
+
+    def _exec_block(self, x_w, x_n, B8, bb, interp):
+        """Run the interpreter kernel(s) on one batch group; returns
+        the flat emission array (rows, L, 8, B8)."""
+        L = self.L
+        K = self.K
+        t = self.table
+        n_win_b = max(self.n_win, 1)
+        n_nin_b = max(self.n_nin, 1)
+        if len(self.calls) == 1:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                # 1D tables only: SMEM pads the minor dim to 128
+                # lanes, so a (n,6) table costs 512B/row (measured
+                # OOM at 1879 steps); 1D arrays cost 4B/step.
+                num_scalar_prefetch=9,
+                grid=(pl.cdiv(B8, bb), self.n_chunks),
+                in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
+                                       lambda g, c, *_: (0, 0, 0, g),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((n_nin_b, 8, bb),
+                                       lambda g, c, *_: (0, 0, g),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, K + 1, L, 8, bb),
+                                       lambda g, c, *_:
+                                       (c, 0, 0, 0, g),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((self.n_regs, L, 8, bb), jnp.uint32),
+                    pltpu.VMEM((max(self.n_nregs, 1), 8, bb),
+                               jnp.int32)],
+            )
+            emits = pl.pallas_call(
+                self._make_kernel(bb),
+                out_shape=jax.ShapeDtypeStruct(
+                    (self.n_chunks, K + 1, L, 8, B8), jnp.uint32),
+                grid_spec=grid_spec,
+                interpret=interp,
+            )(self.starts, np.ascontiguousarray(t[:, 0]),
+              np.ascontiguousarray(t[:, 1]),
+              np.ascontiguousarray(t[:, 2]),
+              np.ascontiguousarray(t[:, 3]),
+              np.ascontiguousarray(t[:, 4]),
+              np.ascontiguousarray(t[:, 5]),
+              np.ascontiguousarray(t[:, 6]),
+              self.cbank.reshape(-1), x_w, x_n)
+            return emits.reshape(self.n_chunks * (K + 1), L, 8, B8)
+        # multi-call paging: each call interprets a table slice
+        # (padded to one shared shape = one Mosaic kernel) and
+        # the register files ride through HBM between calls
+        CS, CC = self.call_steps, self.call_chunks
+        kernel = self._make_kernel(bb, whole=(B8 == bb))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=9,
+            grid=(pl.cdiv(B8, bb), CC),
+            in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
+                                   lambda g, c, *_: (0, 0, 0, g),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((n_nin_b, 8, bb),
+                                   lambda g, c, *_: (0, 0, g),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                      pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+            out_specs=(pl.BlockSpec((1, K + 1, L, 8, bb),
+                                    lambda g, c, *_:
+                                    (c, 0, 0, 0, g),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                       pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)),
+            scratch_shapes=[
+                pltpu.VMEM((self.n_regs, L, 8, bb), jnp.uint32),
+                pltpu.VMEM((max(self.n_nregs, 1), 8, bb),
+                           jnp.int32),
+                pltpu.SemaphoreType.DMA((2,))],
+        )
+        rf_w = jnp.zeros((self.n_regs, L, 8, B8), jnp.uint32)
+        rf_nn = jnp.zeros((max(self.n_nregs, 1), 8, B8),
+                          jnp.int32)
+        parts = []
+        for (a, b, s0, s1) in self.calls:
+            tb = np.zeros((CS, 7), np.int32)
+            tb[:s1 - s0] = t[s0:s1]
+            st = np.empty(CC + 1, np.int32)
+            seg = self.starts[a:b + 1] - s0
+            st[:len(seg)] = seg
+            st[len(seg):] = seg[-1]
+            emits_i, rf_w, rf_nn = pl.pallas_call(
+                kernel,
+                out_shape=(
+                    jax.ShapeDtypeStruct(
+                        (CC, K + 1, L, 8, B8), jnp.uint32),
+                    jax.ShapeDtypeStruct(rf_w.shape, jnp.uint32),
+                    jax.ShapeDtypeStruct(rf_nn.shape, jnp.int32)),
+                grid_spec=grid_spec,
+                interpret=interp,
+            )(st, np.ascontiguousarray(tb[:, 0]),
+              np.ascontiguousarray(tb[:, 1]),
+              np.ascontiguousarray(tb[:, 2]),
+              np.ascontiguousarray(tb[:, 3]),
+              np.ascontiguousarray(tb[:, 4]),
+              np.ascontiguousarray(tb[:, 5]),
+              np.ascontiguousarray(tb[:, 6]),
+              self.cbank.reshape(-1), x_w, x_n, rf_w, rf_nn)
+            parts.append(emits_i.reshape(CC * (K + 1), L, 8, B8))
+        return jnp.concatenate(parts, axis=0)
+
 
     def run(self, inputs):
         if self._jit is None:
