@@ -1,29 +1,47 @@
-"""Benchmark: batched Poseidon(2) witness generation, witnesses/sec/chip.
+"""Benchmark: batched witness generation on TPU vs a MEASURED CPU baseline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Workloads (BASELINE.json north star: Poseidon & SHA256, >=50x CPU):
+  * Poseidon2 / bn128   — Montgomery-mul-bound, full-limb witness,
+                          device-side witness check vs the host calculator.
+  * SHA256 block / bn128 — bit-bound, runs on the narrow int32 lane via
+                          the split-sum planner; mixed-representation
+                          witness (bit values stay one int32 each — the
+                          full-limb SHA witness at batch 64k would be
+                          >100GB); full-batch digest check vs hashlib.
 
-vs_baseline is measured against a nominal 25,000 witnesses/sec for the
-reference's single-threaded C++ calculator on a Poseidon(2)-class circuit
-(the reference publishes no numbers — BASELINE.md; 25k/s is a generous
-estimate for ~240-constraint circuits on a modern core, so the ratio is
-conservative).  The north-star target is >=50x (BASELINE.json).
+The CPU baseline is MEASURED each run: circom_tpu/native/tapeval.cpp
+(4x64 Montgomery, the same arithmetic class as the reference's emitted
+C++ runtime, code_producers/src/c_elements) on this machine, 1 thread
+and all cores.  vs_baseline = TPU wit/s / CPU 1-thread wit/s.
+
+Prints ONE JSON line with metric/value/unit/vs_baseline plus extra keys
+(per-workload throughput, measured baselines, bytes-per-witness and
+achieved HBM utilization for the roofline story).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-BASELINE_CPU_WITNESSES_PER_SEC = 25_000.0
+# peak HBM bandwidth by device kind (B/s)
+_HBM_PEAK = {
+    "v5 lite": 819e9,     # v5e
+    "v5litepod": 819e9,
+    "v5p": 2765e9,
+    "v4": 1228e9,
+    "v6 lite": 1640e9,    # v6e / trillium
+    "v6e": 1640e9,
+}
 
 
 def _tpu_alive(timeout=90):
     """Probe device init in a subprocess: the axon tunnel can wedge and
     hang jax.devices() forever; fall back to CPU so the bench always
     reports."""
-    import subprocess
-
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -36,22 +54,93 @@ def _tpu_alive(timeout=90):
         return False
 
 
-def main():
-    import os
+_CPU_BASELINE_SNIPPET = r'''
+import os, sys, time, json, random
+os.environ["JAX_PLATFORMS"] = "cpu"
+import ctypes
+import jax
+jax.config.update("jax_platforms", "cpu")
+from circom_tpu.compiler.pipeline import compile_source
+from circom_tpu.field.primes import field_spec
+from circom_tpu.native import NativeCalculator
+from circom_tpu.circuits.gen_poseidon import generate
 
-    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and not _tpu_alive():
-        print("# TPU device init unavailable; falling back to CPU",
-              file=sys.stderr)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
+def measure(nc, rows, reps):
+    nc.run(rows[:2])
+    t0 = time.time()
+    for _ in range(reps):
+        nc.run(rows)
+    return len(rows) * reps / (time.time() - t0)
 
-        jax.config.update("jax_platforms", "cpu")
-    import jax
+def set_threads(n):
+    try:
+        ctypes.CDLL("libgomp.so.1").omp_set_num_threads(n)
+    except OSError:
+        os.environ["OMP_NUM_THREADS"] = str(n)
+
+out = {}
+rng = random.Random(1)
+spec = field_spec("bn128")
+
+src = generate((2,)) + "\ncomponent main = Poseidon2();\n"
+cc = compile_source(src)
+tape, _ = cc.build_tape()
+nc = NativeCalculator(tape, spec)
+rows = [[rng.randrange(spec.p) for _ in range(tape.n_inputs)]
+        for _ in range(2048)]
+set_threads(1)
+out["poseidon2_cpu_1t"] = measure(nc, rows, 3)
+set_threads(os.cpu_count())
+out["poseidon2_cpu_mt"] = measure(nc, rows, 3)
+out["cpu_cores"] = os.cpu_count()
+
+src = open("circom_tpu/circuits/sha256.circom").read() \
+    + "\ncomponent main = Sha256Block();\n"
+cc = compile_source(src)
+tape, _ = cc.build_tape()
+nc = NativeCalculator(tape, spec)
+rows = [[rng.randrange(2) for _ in range(tape.n_inputs)]
+        for _ in range(256)]
+set_threads(1)
+out["sha256_cpu_1t"] = measure(nc, rows, 2)
+set_threads(os.cpu_count())
+out["sha256_cpu_mt"] = measure(nc, rows, 2)
+print(json.dumps(out))
+'''
+
+
+def measure_cpu_baselines():
+    """Measured wit/s of the native C++ runtime (this machine)."""
+    r = subprocess.run(
+        [sys.executable, "-c", _CPU_BASELINE_SNIPPET],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if r.returncode != 0:
+        print("# CPU baseline failed:", r.stderr[-2000:], file=sys.stderr)
+        return {}
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def msg_to_bits(msg: bytes):
+    block = (bytearray(msg) + b"\x80" + b"\x00" * (55 - len(msg))
+             + (8 * len(msg)).to_bytes(8, "big"))
+    bits = np.zeros(512, np.uint8)
+    for t in range(16):
+        word = int.from_bytes(block[4 * t:4 * t + 4], "big")
+        for k in range(32):
+            bits[32 * t + k] = (word >> k) & 1
+    return bits
+
+
+def bench_poseidon(jax, extras, hbm_peak):
+    import jax.numpy as jnp
 
     from circom_tpu.circuits.gen_poseidon import generate
     from circom_tpu.compiler.pipeline import compile_source
     from circom_tpu.backend.jax_backend import WitnessProgram
     from circom_tpu.field.primes import field_spec
+    from circom_tpu.ops.limbs import ints_to_limbs
 
     t0 = time.time()
     src = generate((2,)) + "\ncomponent main = Poseidon2();\n"
@@ -59,8 +148,8 @@ def main():
     tape, _layout = cc.build_tape()
     spec = field_spec("bn128")
     prog = WitnessProgram(tape, spec, unroll_threshold=0)
-    print(f"# compile: {time.time()-t0:.2f}s, tape={len(tape.ops)} ops, "
-          f"device={jax.devices()[0].platform}", file=sys.stderr)
+    print(f"# poseidon2 compile: {time.time()-t0:.2f}s, "
+          f"tape={len(tape.ops)} ops", file=sys.stderr)
 
     platform = jax.devices()[0].platform
     batches = (8192, 32768, 65536) if platform != "cpu" else (256,)
@@ -70,10 +159,8 @@ def main():
     rng = random.Random(1234)
     p = spec.p
 
-    # upload ALL device data up front: the axon relay can wedge on
-    # host<->device transfers issued after a large program has executed.
-    from circom_tpu.ops.limbs import ints_to_limbs
-
+    # upload ALL device data up front, AOT-compile everything BEFORE
+    # the first execution (axon-relay wedge mitigations, see r1 notes)
     staged = []
     for batch in batches:
         cols = [[rng.randrange(p) for _ in range(batch)]
@@ -85,32 +172,23 @@ def main():
         staged.append((batch, arr, exp_dev))
     jax.block_until_ready([a for (_b, a, _e) in staged])
 
-    # AOT-compile everything (witness program per batch + the checker)
-    # BEFORE the first execution: compile RPCs issued after a large
-    # program has run can wedge the axon relay.
-    import jax.numpy as jnp
-
-    compiled = {}
-    check_fn = {}
-    sync_fn = {}
+    compiled, check_fn, sync_fn = {}, {}, {}
     for (batch, arr, exp_dev) in staged:
         lowered = jax.jit(prog.jittable()).lower(
             jax.ShapeDtypeStruct(arr.shape, arr.dtype))
         compiled[batch] = lowered.compile()
-        n_wit = prog.n_witness
         out_aval = jax.ShapeDtypeStruct(
-            (n_wit, prog.jf.L, batch), arr.dtype)
+            (prog.n_witness, prog.jf.L, batch), arr.dtype)
         check_fn[batch] = jax.jit(
             lambda o, e: (o[:, :, 0] == e).all()).lower(
                 out_aval, jax.ShapeDtypeStruct(exp_dev.shape,
                                                exp_dev.dtype)).compile()
-        # scalar reducer over the whole witness: np.asarray of its
-        # output is the only reliable sync point through the axon relay
-        # (block_until_ready returns before the device queue drains).
+        # scalar reducer: np.asarray of its output is the only reliable
+        # sync point through the axon relay
         sync_fn[batch] = jax.jit(
             lambda o: o[:, 0, :].astype(jnp.uint32).sum()).lower(
                 out_aval).compile()
-    print("# all programs compiled ahead of time", file=sys.stderr)
+    print("# poseidon2 programs compiled ahead of time", file=sys.stderr)
 
     best = 0.0
     for (batch, arr, exp_dev) in staged:
@@ -118,7 +196,7 @@ def main():
         t0 = time.time()
         out = run_fn(arr)
         np.asarray(sync_fn[batch](out))
-        print(f"# batch {batch}: first run {time.time()-t0:.2f}s",
+        print(f"# poseidon2 batch {batch}: first run {time.time()-t0:.2f}s",
               file=sys.stderr)
         ok = check_fn[batch](out, exp_dev)
         assert bool(ok), f"TPU witness mismatch at batch {batch}"
@@ -126,22 +204,171 @@ def main():
         t0 = time.time()
         for _ in range(reps):
             out = run_fn(arr)
-        # the device executes programs in order: forcing the last run's
-        # reduction forces them all
         np.asarray(sync_fn[batch](out))
         dt = (time.time() - t0) / reps
         wps = batch / dt
         best = max(best, wps)
-        print(f"# batch {batch}: {dt*1e3:.1f} ms -> {wps:,.0f} wit/s",
-              file=sys.stderr)
-    wps = best
+        print(f"# poseidon2 batch {batch}: {dt*1e3:.1f} ms -> "
+              f"{wps:,.0f} wit/s", file=sys.stderr)
+    extras["poseidon2_tpu_wit_s"] = round(best, 1)
 
-    print(json.dumps({
+    # roofline: bytes moved per witness on the device (emission-buffer
+    # write + gather read + final witness write, 4B/limb-word)
+    f = prog.fused
+    if f is not None and hasattr(f, "n_chunks"):
+        L = prog.jf.L
+        rows_w = f.n_chunks * (f.K + 1)
+        bpw = 4 * L * (rows_w + 2 * prog.n_witness)
+        extras["poseidon2_bytes_per_wit"] = bpw
+        extras["poseidon2_hbm_util"] = round(best * bpw / hbm_peak, 3)
+    return best
+
+
+def bench_sha256(jax, extras, hbm_peak):
+    import hashlib
+    import jax.numpy as jnp
+
+    from circom_tpu.compiler.pipeline import compile_source
+    from circom_tpu.backend.jax_backend import WitnessProgram
+    from circom_tpu.field.primes import field_spec
+
+    t0 = time.time()
+    src = (open("circom_tpu/circuits/sha256.circom").read()
+           + "\ncomponent main = Sha256Block();\n")
+    cc = compile_source(src)
+    tape, _layout = cc.build_tape()
+    spec = field_spec("bn128")
+    ranges = {i: (0, 1) for i in range(tape.n_inputs)}
+    prog = WitnessProgram(tape, spec, unroll_threshold=0, mode="interp",
+                          input_ranges=ranges)
+    f = prog.fused
+    print(f"# sha256 compile: {time.time()-t0:.2f}s, "
+          f"tape={len(tape.ops)} ops, steps={f.n_steps}, "
+          f"runs={f.n_runs}, nregs={f.n_nregs}", file=sys.stderr)
+
+    # out bits are witness indices 1..256; they live in the narrow part
+    nidx, _widx = prog.mixed_layout()
+    row_of = {wi: r for r, wi in enumerate(nidx)}
+    out_rows = np.asarray([row_of[1 + k] for k in range(256)], np.int32)
+
+    import random
+
+    rng = random.Random(99)
+    batches = (4096, 16384)
+    staged = []
+    for batch in batches:
+        msgs = [bytes(rng.randrange(256) for _ in range(32))
+                for _ in range(batch)]
+        bits = np.stack([msg_to_bits(m) for m in msgs], axis=1)  # (512,B)
+        arr = np.zeros((512, prog.jf.L, batch), np.uint32)
+        arr[:, 0, :] = bits
+        # expected digest bits (LSB-first per output word), all columns
+        exp = np.zeros((256, batch), np.int32)
+        for j, m in enumerate(msgs):
+            d = hashlib.sha256(m).digest()
+            for w in range(8):
+                word = int.from_bytes(d[4 * w:4 * w + 4], "big")
+                for k in range(32):
+                    exp[32 * w + k, j] = (word >> k) & 1
+        staged.append((batch, jax.device_put(arr), jax.device_put(exp)))
+    jax.block_until_ready([a for (_b, a, _e) in staged])
+
+    compiled, check_fn, sync_fn = {}, {}, {}
+    rows_dev = jax.device_put(out_rows)
+    for (batch, arr, exp_dev) in staged:
+        lowered = jax.jit(f._run_mixed).lower(
+            jax.ShapeDtypeStruct(arr.shape, arr.dtype))
+        compiled[batch] = lowered.compile()
+        n_nw = len(nidx)
+        nw_aval = jax.ShapeDtypeStruct((n_nw, batch), jnp.int32)
+        check_fn[batch] = jax.jit(
+            lambda nw, rows, e: (jnp.take(nw, rows, axis=0) == e)
+            .all()).lower(
+                nw_aval, jax.ShapeDtypeStruct(rows_dev.shape, jnp.int32),
+                jax.ShapeDtypeStruct(exp_dev.shape, jnp.int32)).compile()
+        sync_fn[batch] = jax.jit(lambda nw: nw.sum()).lower(
+            nw_aval).compile()
+    print("# sha256 programs compiled ahead of time", file=sys.stderr)
+
+    best = 0.0
+    for (batch, arr, exp_dev) in staged:
+        run_fn = compiled[batch]
+        t0 = time.time()
+        nw, _wd = run_fn(arr)
+        np.asarray(sync_fn[batch](nw))
+        print(f"# sha256 batch {batch}: first run {time.time()-t0:.2f}s",
+              file=sys.stderr)
+        ok = check_fn[batch](nw, rows_dev, exp_dev)
+        assert bool(ok), f"SHA256 digest mismatch at batch {batch}"
+        reps = 5
+        t0 = time.time()
+        for _ in range(reps):
+            nw, _wd = run_fn(arr)
+        np.asarray(sync_fn[batch](nw))
+        dt = (time.time() - t0) / reps
+        wps = batch / dt
+        best = max(best, wps)
+        print(f"# sha256 batch {batch}: {dt*1e3:.1f} ms -> "
+              f"{wps:,.0f} wit/s (digest-checked, mixed witness)",
+              file=sys.stderr)
+    extras["sha256_tpu_wit_s"] = round(best, 1)
+    rows_n = f.n_chunks * (f.KN + 1)
+    bpw = 4 * (rows_n + 2 * len(nidx))
+    extras["sha256_bytes_per_wit"] = bpw
+    extras["sha256_hbm_util"] = round(best * bpw / hbm_peak, 3)
+    return best
+
+
+def main():
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) \
+            and not _tpu_alive():
+        print("# TPU device init unavailable; falling back to CPU",
+              file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    platform = jax.devices()[0].platform
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    hbm_peak = 819e9
+    for key, bw in _HBM_PEAK.items():
+        if key in kind.lower():
+            hbm_peak = bw
+            break
+    print(f"# device: {platform} ({kind}), hbm peak {hbm_peak/1e9:.0f}GB/s",
+          file=sys.stderr)
+
+    print("# measuring CPU baseline (native tapeval.cpp)...",
+          file=sys.stderr)
+    cpu = measure_cpu_baselines()
+    print(f"# cpu baselines: {cpu}", file=sys.stderr)
+
+    extras = {}
+    pos = bench_poseidon(jax, extras, hbm_peak)
+    sha = None
+    if platform != "cpu":
+        try:
+            sha = bench_sha256(jax, extras, hbm_peak)
+        except Exception as e:  # report poseidon even if sha trips
+            print(f"# sha256 bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    base_1t = cpu.get("poseidon2_cpu_1t")
+    result = {
         "metric": "poseidon2_witnesses_per_sec_per_chip",
-        "value": round(wps, 1),
+        "value": round(pos, 1),
         "unit": "wit/s",
-        "vs_baseline": round(wps / BASELINE_CPU_WITNESSES_PER_SEC, 3),
-    }))
+        "vs_baseline": round(pos / base_1t, 3) if base_1t else None,
+        "baseline_measured_wit_s": cpu,
+        "device": kind or platform,
+    }
+    result.update(extras)
+    if sha is not None and cpu.get("sha256_cpu_1t"):
+        result["sha256_vs_baseline"] = round(
+            sha / cpu["sha256_cpu_1t"], 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -82,8 +82,8 @@ class InterpreterProgram:
     """Executable interpreter form of a DomainTape for one field."""
 
     def __init__(self, dtape, spec: FieldSpec, *, lanes=None,
-                 chunk_emits=32, interpret=None, max_regs=2048,
-                 input_ranges=None, max_call_steps=24_000):
+                 chunk_emits=32, chunk_emits_n=256, interpret=None,
+                 max_regs=2048, input_ranges=None, max_call_steps=24_000):
         # max_regs is a sanity backstop; actual capacity is enforced by
         # the VMEM-aware lane selection below (narrow batch blocks for
         # register-heavy circuits).
@@ -91,6 +91,7 @@ class InterpreterProgram:
         self.em = LimbEmitter(spec)
         self.L = spec.n_limbs
         self.K = chunk_emits
+        self.KN = chunk_emits_n
         self.interpret = interpret
         self.input_ranges = input_ranges or {}
         self.max_call_steps = max_call_steps
@@ -98,20 +99,27 @@ class InterpreterProgram:
         self.xt = ExpandedTape(dtape, spec)
         self._plan(max_regs)
         self.n_witness = len(self.xt.out_ids)
+        # large narrow input sets skip the double-buffered VMEM block:
+        # they live in HBM and DMA straight into their rf_n slots once
+        # per batch block (SHA-class circuits have 512+ bit inputs)
+        self.hbm_nin = self.n_nin > 64
         if lanes is None:
             # widest batch block that keeps the register files + double-
             # buffered in/out blocks inside ~13MB of the 16MB VMEM
-            # (256 lanes measured ~4% faster than 128 on Poseidon2)
+            # (256 lanes measured ~4% faster than 128 on Poseidon2).
+            # Physical VMEM tiles are (8,128): a tile's cost doesn't
+            # shrink below 128 lanes.
             tiles = (self.n_regs * self.L + self.n_nregs
                      + 2 * (self.K + 2) * self.L
+                     + 2 * (self.KN + 2)
                      + 2 * max(self.n_win, 1) * self.L
-                     + max(self.n_nin, 1))
+                     + 2 * (1 if self.hbm_nin else max(self.n_nin, 1)))
             lanes = 8
             for cand in (256, 128, 64, 32, 16, 8):
-                if tiles * 8 * cand * 4 <= 13 << 20:
+                if tiles * 8 * max(cand, 128) * 4 <= 13 << 20:
                     lanes = cand
                     break
-            if tiles * 8 * 8 * 4 > 13 << 20:
+            if tiles * 8 * 128 * 4 > 13 << 20:
                 raise UnsupportedTapeOp(
                     f"register files exceed VMEM ({tiles} tiles)")
         self.lanes = lanes
@@ -213,14 +221,6 @@ class InterpreterProgram:
 
         widened = {}
 
-        def _emit_widen_if_out(x):
-            """Emission needs full limbs: widen a narrow witness value
-            right after its defining step (NOT at the tape end, which
-            would keep every narrow witness value live to the end —
-            measured 25k registers on SHA256)."""
-            if is_nrw(x) and x in out_set:
-                wide_of(x)
-
         def wide_of(x):
             """Wide (L-limb) view of a narrow node: emits one `widen`
             step per node, cached."""
@@ -258,6 +258,151 @@ class InterpreterProgram:
         for o in xt.out_ids:
             uses[o] = uses.get(o, 0) + 1
 
+        rngx = expanded_ranges(xt, self.input_ranges)
+        roots, absorbed = {}, set()
+
+        # --- split-sum pre-pass -----------------------------------------
+        # Bit-decomposition sums (AddModW `lc` in SHA, Num2Bits-style
+        # hints — the reference executes these as full field arithmetic
+        # in its runtimes, witness_calculator.js:131-211): a wide
+        # add-tree X = sum(narrow terms) whose ONLY consumers are
+        # (X >> k) & m extractions never needs limb form.  Keep it as
+        # two int32 component sums with X = S_lo + 2^16*S_hi exactly:
+        #   bits 0..15 of X  == bits 0..15 of S_lo   (2^16*S_hi ≡ 0)
+        #   X >> 16          == S_hi + (S_lo >> 16)  =: T
+        # so every extraction is a narrow shift+mask.  Weight products
+        # (bit*2^k, CSE'd across sums in the tape) are REMATERIALIZED
+        # per sum: shared product nodes otherwise stay live for ~16 SHA
+        # rounds (measured 2,048 >20k-step live spans = a 14MB narrow
+        # register file).
+        split_plan = {}    # root -> (lo_terms, hi_terms, K_lo, K_hi)
+        split_shr = {}     # shr node -> (root, k)
+        splitrep = {}      # root -> (lo_node, t_node), filled at emit
+        consumers = {}
+        for i in comp:
+            for x in xt.args[i]:
+                consumers.setdefault(x, []).append(i)
+
+        def _split_leaf(x):
+            """(lo_terms, hi_terms, lo_ub, hi_ub) for leaf x, items are
+            ('node', id), ('prod', arg, const), ('lo16'/'hi16', id);
+            None if unsplittable.  Constant-weight products split by
+            their constant (bit*2^k with k>=16 contributes only to the
+            hi sum, as bit*2^(k-16))."""
+            if xt.kind[x] == "compute" and xt.ops[x] == "mulp":
+                a0, a1 = xt.args[x]
+                if xt.kind[a1] == "const":
+                    v, cn = a0, a1
+                elif xt.kind[a0] == "const":
+                    v, cn = a1, a0
+                else:
+                    v = cn = None
+                if v is not None:
+                    rv = rngx[v]
+                    c = xt.cval[cn]
+                    if rv is None or rv[0] < 0 or c >= (1 << 47) \
+                            or not is_nrw(v):
+                        return None
+                    c_lo, c_hi = c & 0xffff, c >> 16
+                    if c_lo * rv[1] > NM31 or c_hi * rv[1] > NM31:
+                        return None
+                    lo = [("prod", v, c_lo)] if c_lo else []
+                    hi = [("prod", v, c_hi)] if c_hi else []
+                    return (lo, hi, c_lo * rv[1], c_hi * rv[1])
+            r = rngx[x]
+            if is_nrw(x) and r is not None and r[0] >= 0:
+                return ([("node", x)], [], r[1], 0)
+            return None
+
+        split_prod_uses = {}
+        for i in reversed(comp):
+            if xt.ops[i] != "add" or is_nrw(i) or i in absorbed \
+                    or i in out_set:
+                continue
+            cons = consumers.get(i, [])
+            if not cons:
+                continue
+            ok, shrs = True, []
+            for j in cons:
+                if xt.kind[j] != "compute" or xt.ops[j] != "shr_k" \
+                        or xt.args[j][0] != i:
+                    ok = False
+                    break
+                k = xt.imms[j]
+                if k < 16:
+                    if j in out_set:
+                        ok = False
+                        break
+                    for j2 in consumers.get(j, []):
+                        if xt.ops[j2] != "band":
+                            ok = False
+                            break
+                        ms = [x for x in xt.args[j2]
+                              if xt.kind[x] == "const"]
+                        if len(ms) != 1 \
+                                or xt.cval[ms[0]] >= (1 << (16 - k)):
+                            ok = False
+                            break
+                    if not ok:
+                        break
+                shrs.append((j, k))
+            if not ok:
+                continue
+            leaves, K_acc, local = [], 0, []
+            stack = list(xt.args[i])
+            while stack:
+                x = stack.pop()
+                if xt.kind[x] == "const":
+                    K_acc = (K_acc + xt.cval[x]) % xt.p
+                    continue
+                if (xt.kind[x] == "compute" and xt.ops[x] == "add"
+                        and not is_nrw(x) and uses.get(x, 0) == 1
+                        and x not in out_set and x not in absorbed):
+                    local.append(x)
+                    stack.extend(xt.args[x])
+                    continue
+                leaves.append(x)
+            if K_acc >= (1 << 46):
+                continue
+            lo_t, hi_t = [], []
+            lo_ub = K_acc & 0xffff
+            hi_ub = K_acc >> 16
+            for x in leaves:
+                parts = _split_leaf(x)
+                if parts is None:
+                    ok = False
+                    break
+                pl_, ph_, lu, hu = parts
+                if lo_ub + lu > NM31 and pl_ == [("node", x)]:
+                    # lo sum would overflow int32: split the whole-value
+                    # leaf into 16-bit halves (2 extra narrow ops)
+                    pl_ = [("lo16", x)]
+                    ph_ = ph_ + [("hi16", x)]
+                    lu, hu = 0xffff, rngx[x][1] >> 16
+                lo_t.extend(pl_)
+                hi_t.extend(ph_)
+                lo_ub += lu
+                hi_ub += hu
+            if not ok or not lo_t or lo_ub > NM31 \
+                    or hi_ub + (lo_ub >> 16) > NM31:
+                continue
+            split_plan[i] = (lo_t, hi_t, K_acc & 0xffff, K_acc >> 16)
+            absorbed.update(local)
+            for (j, k) in shrs:
+                split_shr[j] = (i, k)
+                node_narrow[j] = True
+                if k >= 16:
+                    # exact value of X >> k (k<16 extractions are only
+                    # valid under their band masks; leave range unknown)
+                    rngx[j] = (0, (lo_ub + (hi_ub << 16)) >> k)
+            for x in leaves:
+                if xt.kind[x] == "compute" and xt.ops[x] == "mulp":
+                    split_prod_uses[x] = split_prod_uses.get(x, 0) + 1
+        # product nodes used only as split-sum leaves never materialize
+        for x, n_su in split_prod_uses.items():
+            if n_su == uses.get(x, 0) and x not in out_set:
+                absorbed.add(x)
+
         def mulc_leaf(x):
             if xt.ops[x] != "mul" or uses.get(x, 0) != 1 or x in out_set:
                 return None
@@ -270,9 +415,9 @@ class InterpreterProgram:
                 return (a0, xt.cval[a1])
             return None
 
-        roots, absorbed = {}, set()
         for i in reversed(comp):
-            if xt.ops[i] != "add" or i in absorbed or is_nrw(i):
+            if xt.ops[i] != "add" or i in absorbed or is_nrw(i) \
+                    or i in split_plan:
                 continue
             terms, bares, K_acc, local = [], [], 0, []
             stack = list(xt.args[i])
@@ -306,12 +451,11 @@ class InterpreterProgram:
         # int32 after ~31 terms.  Field addition is associative:
         # regroup narrow leaves into int32-safe partial sums (nadd
         # chains), widen each group once, and wide-add the few groups.
-        rngx = expanded_ranges(xt, self.input_ranges)
         NM = (1 << 31) - 1
         nroots = {}
         for i in reversed(comp):
             if xt.ops[i] != "add" or is_nrw(i) or i in absorbed \
-                    or i in roots:
+                    or i in roots or i in split_plan:
                 continue
             leaves_n, leaves_w, K2, local = [], [], 0, []
             stack = list(xt.args[i])
@@ -335,8 +479,83 @@ class InterpreterProgram:
                 nroots[i] = (leaves_n, leaves_w, K2)
                 absorbed.update(local)
 
+        def _nterm(it):
+            """Narrow register holding one split-sum term."""
+            if it[0] == "node":
+                return nform(res(it[1]))
+            if it[0] == "lo16":
+                nid = synth(True)
+                steps.append(("nband", nform(res(it[1])),
+                              ("nmat", nmaterialize(0xffff)), None,
+                              nid, None))
+                return nid
+            if it[0] == "hi16":
+                nid = synth(True)
+                steps.append(("nshr", nform(res(it[1])), None, None,
+                              nid, 16))
+                return nid
+            _tag, v, c = it
+            nid = synth(True)
+            steps.append(("nmul", nform(res(v)),
+                          ("nmat", nmaterialize(c)), None, nid, None))
+            return nid
+
+        def _nsum(terms, k_const):
+            """nadd reduction over split-sum terms (+ constant);
+            returns the operand (register id or nmat tuple).  Eight
+            parallel accumulator chains + a final tree: wide enough
+            that the run scheduler batches the adds, narrow enough
+            that only ~8 partials are live (a full balanced tree keeps
+            n/2 partials live and blows the register file)."""
+            parts = [_nterm(it) for it in terms]
+            if k_const:
+                parts.append(("nmat", nmaterialize(k_const)))
+            A = 8
+            if len(parts) > 2 * A:
+                accs = list(parts[:A])
+                for j, x in enumerate(parts[A:]):
+                    nid = synth(True)
+                    steps.append(("nadd", accs[j % A], x, None,
+                                  nid, None))
+                    accs[j % A] = nid
+                parts = accs
+            while len(parts) > 1:
+                nxt = []
+                for j in range(0, len(parts) - 1, 2):
+                    nid = synth(True)
+                    steps.append(("nadd", parts[j], parts[j + 1], None,
+                                  nid, None))
+                    nxt.append(nid)
+                if len(parts) % 2:
+                    nxt.append(parts[-1])
+                parts = nxt
+            return parts[0]
+
         for i in comp:
             if i in absorbed:
+                continue
+            if i in split_plan:
+                lo_t, hi_t, k_lo, k_hi = split_plan[i]
+                lo = _nsum(lo_t, k_lo)
+                car = synth(True)
+                steps.append(("nshr", lo, None, None, car, 16))
+                if hi_t or k_hi:
+                    hi = _nsum(hi_t, k_hi)
+                    t_n = synth(True)
+                    steps.append(("nadd", hi, car, None, t_n, None))
+                else:
+                    t_n = car
+                splitrep[i] = (lo, t_n)
+                continue
+            if xt.ops[i] == "shr_k" and xt.args[i][0] in splitrep:
+                lo, t_n = splitrep[xt.args[i][0]]
+                k = xt.imms[i]
+                if k < 16:
+                    steps.append(("nshr", lo, None, None, i, k))
+                elif k == 16:
+                    alias[i] = t_n
+                else:
+                    steps.append(("nshr", t_n, None, None, i, k - 16))
                 continue
             if i in nroots:
                 leaves_n, leaves_w, K2 = nroots[i]
@@ -435,7 +654,6 @@ class InterpreterProgram:
                     steps.append((op + "_ww", wform(a[0]), wform(a[1]),
                                   None, i, None))
                 node_narrow[i] = True
-                _emit_widen_if_out(i)
                 continue
             if op == "lnot":
                 if is_nrw(a[0]):
@@ -444,13 +662,11 @@ class InterpreterProgram:
                     steps.append(("lnot_w", wform(a[0]), None, None,
                                   i, None))
                 node_narrow[i] = True
-                _emit_widen_if_out(i)
                 continue
             if nrw_i and op in ("mulp", "add", "sub"):
                 nop = {"mulp": "nmul", "add": "nadd", "sub": "nsub"}[op]
                 steps.append((nop, nform(a[0]), nform(a[1]), None,
                               i, None))
-                _emit_widen_if_out(i)
                 continue
             if nrw_i and op == "select":
                 x1, x2 = nform(a[1]), nform(a[2])
@@ -458,7 +674,6 @@ class InterpreterProgram:
                     steps.append(("nsel_w", a[0], x1, x2, i, None))
                 else:
                     steps.append(("nsel", nform(a[0]), x1, x2, i, None))
-                _emit_widen_if_out(i)
                 continue
             if nrw_i and op == "band":
                 cargs = [x for x, k in zip(a, kinds) if k == "const"]
@@ -466,31 +681,26 @@ class InterpreterProgram:
                 if len(vargs) == 2 and all(is_nrw(x) for x in vargs):
                     steps.append(("nband", vargs[0], vargs[1], None,
                                   i, None))
-                    _emit_widen_if_out(i)
                     continue
                 if len(vargs) == 1 and is_nrw(vargs[0]) and cargs:
                     steps.append(("nband", vargs[0], nform(cargs[0]),
                                   None, i, None))
-                    _emit_widen_if_out(i)
                     continue
                 if len(vargs) == 1 and cargs \
                         and xt.cval[cargs[0]] <= (1 << 31) - 1:
                     # wide value masked by a small constant -> narrow
                     steps.append(("nband_w", wform(vargs[0]), None, None,
                                   i, bank(xt.cval[cargs[0]])))
-                    _emit_widen_if_out(i)
                     continue
                 node_narrow[i] = False
                 nrw_i = False  # fall through to the wide band
             if nrw_i and op in ("bor", "bxor"):
                 steps.append(({"bor": "nbor", "bxor": "nbxor"}[op],
                               nform(a[0]), nform(a[1]), None, i, None))
-                _emit_widen_if_out(i)
                 continue
             if nrw_i and op in ("shl_k", "shr_k"):
                 steps.append(({"shl_k": "nshl", "shr_k": "nshr"}[op],
                               nform(a[0]), None, None, i, xt.imms[i]))
-                _emit_widen_if_out(i)
                 continue
 
             # ---- wide ops ---------------------------------------------
@@ -505,7 +715,6 @@ class InterpreterProgram:
                     cr = (xt.cval[a[1]] * xt.R) % xt.p
                     steps.append(("mul_c", wform(a[0]),
                                   ("bank", bank(cr)), None, i, None))
-                    _emit_widen_if_out(i)
                     continue
                 t = synth()
                 steps.append(("mul", wform(a[0]), wform(a[1]),
@@ -548,19 +757,14 @@ class InterpreterProgram:
             pad = norm + [None] * (3 - len(norm))
             steps.append((op, pad[0], pad[1], pad[2], i, None))
 
-        # narrow witness values were widened in place next to their
-        # defining steps; remap emissions onto the wide views (any
-        # stragglers — e.g. aliased selects — widen at the tail)
-        def _wide_out(o):
-            o = res(o)
-            if isinstance(o, int) and xt.kind[o] == "compute" \
-                    and is_nrw(o):
-                return wide_of(o)
-            return o
-
-        self.xt.out_ids = [_wide_out(o) for o in xt.out_ids]
+        # narrow witness values stream out RAW (int32 emission buffer,
+        # limb conversion happens vectorized outside the kernel), so no
+        # widen steps are needed for emission — only alias resolution.
+        self.xt.out_ids = [res(o) for o in xt.out_ids]
         out_set = set(x for x in self.xt.out_ids
                       if xt.kind[x] == "compute")
+
+        steps = self._schedule_runs(steps)
 
         # --- register allocation ---------------------------------------
         # wide regs: [wide inputs][materialized consts][dynamic][trash]
@@ -612,21 +816,40 @@ class InterpreterProgram:
 
         table = np.zeros((max(len(steps), 1), 7), np.int32)
 
-        # chunking by emission count
-        K = self.K
+        # emission buffers: wide rows and RAW narrow int32 rows stream
+        # through separate chunked blocks; size each to the tape so the
+        # unused stream costs ~nothing (Poseidon: KN=0; SHA: K=0)
+        n_wout = n_nout = 0
+        for (op, _a, _b, _c, i, _x) in steps:
+            if i in out_set:
+                if op in _NARROW_RESULT:
+                    n_nout += 1
+                else:
+                    n_wout += 1
+        K = min(self.K, n_wout)
+        KN = min(self.KN, n_nout)
+        self.K, self.KN = K, KN
+
+        # chunking by emission count; a chunk also never exceeds
+        # max_call_steps so multi-call paging can always split on a
+        # chunk boundary (long emission-free stretches otherwise made
+        # single calls whose tables blow the SMEM budget)
         starts = [0]
-        emit_count = 0
+        emit_w = emit_n = 0
         chunk = 0
-        wit_rows = {}  # node -> (chunk, row)
+        wit_rows = {}    # node -> (chunk, row) in the wide stream
+        wit_rows_n = {}  # node -> (chunk, row) in the narrow stream
         for t, (op, a, b, c, i, aux) in enumerate(steps):
             for (fl, r) in expire[t]:
                 (free_n if fl else free_w).append(r)
             dst_narrow = op in _NARROW_RESULT
-            emits = (not dst_narrow) and i in out_set
-            if emits and emit_count == K:
+            emits = i in out_set
+            if (emits and ((not dst_narrow and emit_w == K)
+                           or (dst_narrow and emit_n == KN))) \
+                    or t - starts[-1] >= self.max_call_steps:
                 starts.append(t)
                 chunk += 1
-                emit_count = 0
+                emit_w = emit_n = 0
             files = _OPERAND_FILES.get(op, ("w", "w", "w"))
             cols = []
             for x, f in zip((a, b, c), files):
@@ -650,12 +873,16 @@ class InterpreterProgram:
                 dst = r
             else:
                 dst = -1  # trash, patched below
-            if emits:
-                wit_rows[i] = (chunk, emit_count)
-                em = emit_count
-                emit_count += 1
+            if emits and dst_narrow:
+                wit_rows_n[i] = (chunk, emit_n)
+                em = emit_n
+                emit_n += 1
+            elif emits:
+                wit_rows[i] = (chunk, emit_w)
+                em = emit_w
+                emit_w += 1
             else:
-                em = K
+                em = KN if dst_narrow else K
             table[t] = (op_id[op], cols[0], cols[1], cols[2], dst, em,
                         aux if aux is not None else 0)
         starts.append(len(steps))
@@ -676,6 +903,27 @@ class InterpreterProgram:
         self.starts = np.asarray(starts, np.int32)
         self.n_chunks = len(starts) - 1
         self.n_steps = len(steps)
+        # run tables: maximal same-opcode step ranges within a chunk;
+        # the kernel dispatches ONE lax.switch per run
+        starts_at = {s: c for c, s in enumerate(starts[:-1])}
+        r_op, r_s0 = [], []
+        rstarts = [0] * len(starts)
+        prev = None
+        for t, st in enumerate(steps):
+            if t in starts_at or st[0] != prev:
+                if t in starts_at:
+                    rstarts[starts_at[t]] = len(r_op)
+                r_op.append(op_id[st[0]])
+                r_s0.append(t)
+                prev = st[0]
+        r_s0.append(len(steps))
+        rstarts[-1] = len(r_op)
+        if not r_op:
+            r_op, r_s0 = [0], [0, 0]
+        self.r_op = np.asarray(r_op, np.int32)
+        self.r_s0 = np.asarray(r_s0, np.int32)
+        self.rstarts = np.asarray(rstarts, np.int32)
+        self.n_runs = len(r_op)
         # --- instruction-table paging: SMEM holds ~1MB, so tapes are
         # split into CALLS of <= max_call_steps; the register files hand
         # off through HBM between calls.  All calls share one padded
@@ -691,6 +939,8 @@ class InterpreterProgram:
         self.calls = calls
         self.call_steps = max((s1 - s0) for (_a, _b, s0, s1) in calls)
         self.call_chunks = max((b - a) for (a, b, _s, _t) in calls)
+        self.call_runs = max((int(rstarts[b]) - int(rstarts[a]))
+                             for (a, b, _s, _t) in calls)
         # const bank (scalar-prefetched, int32)
         if not bank_vals:
             bank_vals.append(0)
@@ -706,8 +956,87 @@ class InterpreterProgram:
                 self.wit_src.append(("const", xt.cval[nid]))
             elif k == "input":
                 self.wit_src.append(("input", xt.iidx[nid]))
+            elif nid in wit_rows_n:
+                self.wit_src.append(("emitn", *wit_rows_n[nid]))
             else:
                 self.wit_src.append(("emit", *wit_rows[nid]))
+
+    # ------------------------------------------------------------------
+    def _schedule_runs(self, steps):
+        """Reorder steps into same-opcode RUNS (greedy list schedule).
+
+        The kernel dispatches one lax.switch per run (not per step), so
+        long runs amortize interpreter dispatch — bit-parallel circuits
+        (SHA: 32 independent per-bit ops per word op) produce wide
+        ready sets.  Greedy rule: among ready steps, emit the whole
+        ready set of the opcode that currently has the most ready
+        steps; newly-readied steps of the same opcode extend the run
+        (runs are recomputed from the final order).  Always a valid
+        topological order."""
+        n = len(steps)
+        if n == 0:
+            return steps
+        prod = {}
+        for t, st in enumerate(steps):
+            prod[st[4]] = t
+        consumers = [[] for _ in range(n)]
+        indeg = [0] * n
+        for t, st in enumerate(steps):
+            seen = set()
+            for x in st[1:4]:
+                if isinstance(x, int) and x in prod and prod[x] != t \
+                        and prod[x] not in seen:
+                    seen.add(prod[x])
+                    consumers[prod[x]].append(t)
+                    indeg[t] += 1
+        # ALAP levels: how late each step may run.  Emission-only steps
+        # pin right after their producers (not the tape end — keeping
+        # their operands live to the end would blow the register file).
+        alap = [0] * n
+        for t in range(n - 1, -1, -1):
+            if consumers[t]:
+                alap[t] = min(alap[t2] for t2 in consumers[t]) - 1
+        for t in range(n):
+            if not consumers[t]:
+                lv = None
+                for x in steps[t][1:4]:
+                    if isinstance(x, int) and x in prod:
+                        lx = alap[prod[x]]
+                        lv = lx if lv is None else max(lv, lx)
+                alap[t] = 0 if lv is None else lv + 1
+        # list schedule: always serve the most-urgent opcode class, and
+        # take every ready step of that opcode within an ALAP horizon —
+        # long same-op runs without letting far-future work (e.g. SHA
+        # weight products for rounds 7-16 ahead) stretch liveness.
+        import heapq
+        HORIZON = 4
+        heaps = {}
+        for t in range(n):
+            if indeg[t] == 0:
+                heaps.setdefault(steps[t][0], []).append((alap[t], t))
+        for h in heaps.values():
+            heapq.heapify(h)
+        order = []
+        while heaps:
+            op = min(heaps, key=lambda o: heaps[o][0])
+            h = heaps[op]
+            lim = h[0][0] + HORIZON
+            batch = []
+            while h and h[0][0] < lim:
+                batch.append(heapq.heappop(h)[1])
+            if not h:
+                del heaps[op]
+            batch.sort()
+            order.extend(batch)
+            for t in batch:
+                for t2 in consumers[t]:
+                    indeg[t2] -= 1
+                    if indeg[t2] == 0:
+                        h2 = heaps.get(steps[t2][0])
+                        if h2 is None:
+                            h2 = heaps[steps[t2][0]] = []
+                        heapq.heappush(h2, (alap[t2], t2))
+        return [steps[t] for t in order]
 
     # ------------------------------------------------------------------
     def _reorder(self, comp, r2_v):
@@ -760,15 +1089,19 @@ class InterpreterProgram:
 
         n_win, n_nin = self.n_win, self.n_nin
         handoff = len(self.calls) > 1
+        hbm_nin = self.hbm_nin
         n_cc = self.call_chunks
 
-        def kernel(starts_ref, opc_ref, ia_ref, ib_ref, ic_ref, dst_ref,
-                   em_ref, aux_ref, cb_ref, in_ref, inn_ref, *rest):
+        def kernel(rstarts_ref, ropc_ref, rs0_ref, ia_ref, ib_ref,
+                   ic_ref, dst_ref, em_ref, aux_ref, cb_ref, in_ref,
+                   inn_ref, *rest):
             if handoff:
-                (rfw_in, rfn_in, out_ref, rfw_out, rfn_out,
+                (rfw_in, rfn_in, out_ref, out_n_ref, rfw_out, rfn_out,
                  rf, rf_n, sem) = rest
+            elif hbm_nin:
+                out_ref, out_n_ref, rf, rf_n, sem = rest
             else:
-                out_ref, rf, rf_n = rest
+                out_ref, out_n_ref, rf, rf_n = rest
             g = pl.program_id(0)
             c = pl.program_id(1)
             zero = jnp.zeros((8, bb), jnp.uint32)
@@ -792,8 +1125,17 @@ class InterpreterProgram:
                 for k in range(n_win):
                     for i in range(L):
                         rf[k, i] = in_ref[k, i]
-                for k in range(n_nin):
-                    rf_n[k] = inn_ref[k]
+                if hbm_nin:
+                    # narrow inputs live in HBM pre-sliced per batch
+                    # block; DMA them straight into their rf_n slots
+                    cpi = pltpu.make_async_copy(
+                        inn_ref.at[g], rf_n.at[pl.ds(0, n_nin)],
+                        sem.at[0])
+                    cpi.start()
+                    cpi.wait()
+                else:
+                    for k in range(n_nin):
+                        rf_n[k] = inn_ref[k]
                 for (reg, limbs) in mat_loads:
                     for i in range(L):
                         rf[reg, i] = jnp.full((8, bb), np.uint32(limbs[i]),
@@ -801,12 +1143,11 @@ class InterpreterProgram:
                 for (reg, sv) in nmat_loads:
                     rf_n[reg] = jnp.full((8, bb), np.int32(sv), jnp.int32)
 
-            def step(t, carry):
+            def exec_step(t, op):
                 ia = ia_ref[t]
                 ib = ib_ref[t]
                 ic = ic_ref[t]
                 aux = aux_ref[t]
-                opc = opc_ref[t]
                 dst = dst_ref[t]
 
                 def rd_vv(k, i):
@@ -1018,35 +1359,49 @@ class InterpreterProgram:
                     return jnp.broadcast_to(rows[0], (8, bb)) \
                         .astype(jnp.int32)
 
+                if op in _NARROW_RESULT:
+                    res = nbranch(op)
+                    rf_n[dst] = res
+                    out_n_ref[0, em_ref[t]] = res
+                else:
+                    res = wbranch(op)
+                    rf[dst] = res
+                    out_ref[0, em_ref[t]] = res
+
+            # one switch per same-opcode RUN; the op is static inside
+            # each branch's step loop (dispatch amortized over the run)
+            def run_body(rr, carry):
+                opc = ropc_ref[rr]
+                s0 = rs0_ref[rr]
+                s1 = rs0_ref[rr + 1]
+
+                def stepper(op):
+                    def stp(t, cy):
+                        exec_step(t, op)
+                        return cy
+
+                    def go():
+                        return lax.fori_loop(s0, s1, stp, 0)
+                    return go
+
                 if N_N and opset_w:
                     @pl.when(opc < N_N)
                     def _():
-                        res = lax.switch(
-                            opc, [lambda op=op: nbranch(op)
-                                  for op in opset_n])
-                        rf_n[dst] = res
+                        lax.switch(opc, [stepper(op) for op in opset_n])
 
                     @pl.when(opc >= N_N)
                     def _():
-                        res = lax.switch(
-                            opc - N_N, [lambda op=op: wbranch(op)
-                                        for op in opset_w])
-                        rf[dst] = res
-                        out_ref[0, em_ref[t]] = res
+                        lax.switch(opc - N_N,
+                                   [stepper(op) for op in opset_w])
                 elif opset_w:
-                    res = lax.switch(
-                        opc - N_N, [lambda op=op: wbranch(op)
-                                    for op in opset_w])
-                    rf[dst] = res
-                    out_ref[0, em_ref[t]] = res
+                    lax.switch(opc - N_N,
+                               [stepper(op) for op in opset_w])
                 else:
-                    res = lax.switch(
-                        opc, [lambda op=op: nbranch(op)
-                              for op in opset_n])
-                    rf_n[dst] = res
+                    lax.switch(opc, [stepper(op) for op in opset_n])
                 return carry
 
-            lax.fori_loop(starts_ref[c], starts_ref[c + 1], step, 0)
+            lax.fori_loop(rstarts_ref[c], rstarts_ref[c + 1],
+                          run_body, 0)
 
             if handoff:
                 @pl.when(c == n_cc - 1)
@@ -1111,30 +1466,52 @@ class InterpreterProgram:
                                      interp)
                     for s0 in range(0, B8, bb)
                 ]
-                flat = jnp.concatenate(parts_b, axis=-1)
+                flat = jnp.concatenate([p[0] for p in parts_b], axis=-1)
+                flat_n = jnp.concatenate([p[1] for p in parts_b],
+                                         axis=-1)
             else:
-                flat = self._exec_block(x_w, x_n, B8, bb, interp)
+                flat, flat_n = self._exec_block(x_w, x_n, B8, bb, interp)
         else:
             flat = jnp.zeros((1, L, 8, B8), jnp.uint32)
+            flat_n = jnp.zeros((1, 8, B8), jnp.int32)
 
         # gather emissions/inputs/consts into witness order
         const_rows = []
         const_pos = {}
         idx = []
         n_flat = flat.shape[0]
+        KN = self.KN
         if self.n_steps and len(self.calls) > 1:
             CC = self.call_chunks
-            chunk_base = []
+            chunk_base, chunk_base_n = [], []
             for ci, (a, b, _s0, _s1) in enumerate(self.calls):
                 for g in range(a, b):
                     chunk_base.append(ci * CC * (K + 1)
                                       + (g - a) * (K + 1))
+                    chunk_base_n.append(ci * CC * (KN + 1)
+                                        + (g - a) * (KN + 1))
+        elif self.n_steps:
+            chunk_base = [g * (K + 1) for g in range(self.n_chunks)]
+            chunk_base_n = [g * (KN + 1) for g in range(self.n_chunks)]
         else:
-            chunk_base = [g * (K + 1) for g in range(self.n_chunks)] \
-                if self.n_steps else []
+            chunk_base = chunk_base_n = []
+        # narrow emissions used by the witness convert to limb rows in
+        # ONE vectorized pass (the kernel never widens for emission)
+        idx_n = []
+        pos_n = {}
+        for src in self.wit_src:
+            if src[0] == "emitn":
+                key = (src[1], src[2])
+                if key not in pos_n:
+                    pos_n[key] = len(idx_n)
+                    idx_n.append(chunk_base_n[src[1]] + src[2])
+        n_in_bank = n_in_prog
+        n_const0 = n_flat + n_in_bank
         for src in self.wit_src:
             if src[0] == "emit":
                 idx.append(chunk_base[src[1]] + src[2])
+            elif src[0] == "emitn":
+                idx.append(0)  # patched below once n_const is known
             elif src[0] == "input":
                 idx.append(n_flat + src[1])
             else:
@@ -1142,54 +1519,230 @@ class InterpreterProgram:
                 if v not in const_pos:
                     const_pos[v] = len(const_rows)
                     const_rows.append(np.asarray(int_to_limbs(v, L)))
-                idx.append(n_flat + n_in_prog + const_pos[v])
+                idx.append(n_const0 + const_pos[v])
+        n_const = len(const_rows)
+        for w_i, src in enumerate(self.wit_src):
+            if src[0] == "emitn":
+                idx[w_i] = n_const0 + n_const + pos_n[(src[1], src[2])]
         banks = [flat, x]
         if const_rows:
             cb = jnp.broadcast_to(
                 jnp.asarray(np.stack(const_rows))[:, :, None, None],
-                (len(const_rows), L, 8, B8))
+                (n_const, L, 8, B8))
             banks.append(cb)
+        else:
+            banks.append(jnp.zeros((0, L, 8, B8), jnp.uint32))
+        if idx_n:
+            sel_n = jnp.take(flat_n, jnp.asarray(idx_n, np.int32),
+                             axis=0)
+            banks.append(self._widen_narrow(sel_n))
         big = jnp.concatenate(banks, axis=0)
         wit = jnp.take(big, jnp.asarray(idx, np.int32), axis=0)
         return wit.reshape(len(idx), L, Bp)[..., :B]
 
+    def _run_mixed(self, inputs):
+        """uint32 (n_inputs, L, B) -> witness in MIXED representation.
+
+        Returns (narrow int32 (n_nw, B), wide uint32 (n_wd, L, B));
+        row order is given by self.mixed_layout() (narrow_idx, wide_idx
+        witness positions).  Bit-class witnesses stay as one int32 per
+        value — the SHA256 witness at batch 64k would be >100GB in limb
+        form, 7GB mixed.  The reference's emitted runtimes hold the
+        full witness in signal memory the same way before .wtns export
+        (code_producers/src/wasm_elements/common/witness_calculator.js
+        :264-271); `_widen_narrow` is the format conversion."""
+        L = self.L
+        n_in_prog = max(self.n_inputs, 1)
+        _n, _L, B = inputs.shape
+        bb = self.lanes
+        unit = 8 * bb if (B >= 8 * bb or bb < 128) else 8
+        Bp = -(-B // unit) * unit
+        if Bp != B:
+            inputs = jnp.pad(inputs, ((0, 0), (0, 0), (0, Bp - B)))
+        B8 = Bp // 8
+        bb = min(bb, B8)
+        x = inputs.reshape(n_in_prog, L, 8, B8) if self.n_inputs \
+            else jnp.zeros((1, L, 8, B8), jnp.uint32)
+        order_w = sorted(self.win_of, key=self.win_of.get)
+        order_n = sorted(self.nin_of, key=self.nin_of.get)
+        x_w = x[np.asarray(order_w)] if order_w \
+            else jnp.zeros((1, L, 8, B8), jnp.uint32)
+        if order_n:
+            xs = x[np.asarray(order_n)]
+            x_n = xs[:, 0].astype(jnp.int32)
+            if L > 1:
+                x_n = x_n | (xs[:, 1].astype(jnp.int32) << LIMB_BITS)
+        else:
+            x_n = jnp.zeros((1, 8, B8), jnp.int32)
+        if self.n_steps:
+            interp = (not on_tpu()) \
+                if self.interpret is None else self.interpret
+            flat, flat_n = self._exec_block(x_w, x_n, B8, bb, interp)
+        else:
+            flat = jnp.zeros((1, L, 8, B8), jnp.uint32)
+            flat_n = jnp.zeros((1, 8, B8), jnp.int32)
+        (nw_src, wd_src), _ = self._mixed_split()
+        narrow = jnp.take(
+            jnp.concatenate([flat_n, x_n], axis=0),
+            jnp.asarray(nw_src, np.int32), axis=0) if nw_src else \
+            jnp.zeros((0, 8, B8), jnp.int32)
+        const_rows = [np.asarray(int_to_limbs(v, L))
+                      for v in self._mixed_consts]
+        banks = [flat, x_w]
+        if const_rows:
+            banks.append(jnp.broadcast_to(
+                jnp.asarray(np.stack(const_rows))[:, :, None, None],
+                (len(const_rows), L, 8, B8)))
+        wide = jnp.take(jnp.concatenate(banks, axis=0),
+                        jnp.asarray(wd_src, np.int32), axis=0) \
+            if wd_src else jnp.zeros((0, L, 8, B8), jnp.uint32)
+        return (narrow.reshape(narrow.shape[0], Bp)[:, :B],
+                wide.reshape(wide.shape[0], L, Bp)[..., :B])
+
+    def _mixed_split(self):
+        """Classify wit_src into (narrow bank rows, wide bank rows) and
+        the witness indices each covers.  Cached."""
+        hit = getattr(self, "_mixed_cache", None)
+        if hit is not None:
+            return hit
+        K, KN = self.K, self.KN
+        if self.n_steps and len(self.calls) > 1:
+            CC = self.call_chunks
+            cb_w, cb_n = [], []
+            for ci, (a, b, _s0, _s1) in enumerate(self.calls):
+                for g in range(a, b):
+                    cb_w.append(ci * CC * (K + 1) + (g - a) * (K + 1))
+                    cb_n.append(ci * CC * (KN + 1) + (g - a) * (KN + 1))
+        elif self.n_steps:
+            cb_w = [g * (K + 1) for g in range(self.n_chunks)]
+            cb_n = [g * (KN + 1) for g in range(self.n_chunks)]
+        else:
+            cb_w = cb_n = []
+        n_flat_w = (len(cb_w) * (K + 1)) if cb_w else 1
+        n_flat_n = (len(cb_n) * (KN + 1)) if cb_n else 1
+        nw_src, wd_src, nw_idx, wd_idx = [], [], [], []
+        consts = []
+        const_pos = {}
+        for w_i, src in enumerate(self.wit_src):
+            if src[0] == "emitn":
+                nw_src.append(cb_n[src[1]] + src[2])
+                nw_idx.append(w_i)
+            elif src[0] == "emit":
+                wd_src.append(cb_w[src[1]] + src[2])
+                wd_idx.append(w_i)
+            elif src[0] == "input":
+                if src[1] in self.nin_of:
+                    nw_src.append(n_flat_n + self.nin_of[src[1]])
+                    nw_idx.append(w_i)
+                else:
+                    wd_src.append(n_flat_w + self.win_of[src[1]])
+                    wd_idx.append(w_i)
+            else:
+                v = src[1]
+                if v not in const_pos:
+                    const_pos[v] = len(consts)
+                    consts.append(v)
+                wd_src.append(n_flat_w + max(len(self.win_of), 1)
+                              + const_pos[v])
+                wd_idx.append(w_i)
+        self._mixed_consts = consts
+        self._mixed_cache = ((nw_src, wd_src), (nw_idx, wd_idx))
+        return self._mixed_cache
+
+    def mixed_layout(self):
+        """(narrow witness indices, wide witness indices) matching the
+        row order of run_mixed's two arrays."""
+        _, idx = self._mixed_split()
+        return idx
+
+    def run_mixed(self, inputs):
+        if getattr(self, "_jit_mixed", None) is None:
+            self._jit_mixed = jax.jit(self._run_mixed)
+        return self._jit_mixed(inputs)
+
+    def _widen_narrow(self, v):
+        """Signed int32 (N, 8, B8) -> canonical limb rows (N, L, 8, B8)
+        uint32 (mirrors the kernel's `widen` with one vectorized pass:
+        v >= 0 -> [v & m, v >> 16, 0...]; v < 0 -> (p - 2^32) + uint32(v)
+        with a static carry chain)."""
+        L = self.L
+        q_limbs = [int(x) for x in
+                   int_to_limbs(self.xt.p - (1 << 32), L)]
+        u = v.astype(jnp.uint32)
+        lo = u & MASK
+        hi = (u >> LIMB_BITS) & MASK
+        neg = v < 0
+        t0 = lo + np.uint32(q_limbs[0])
+        carry = t0 >> LIMB_BITS
+        rneg = [t0 & MASK]
+        t1 = hi + np.uint32(q_limbs[1]) + carry
+        carry = t1 >> LIMB_BITS
+        rneg.append(t1 & MASK)
+        for i in range(2, L):
+            ti = np.uint32(q_limbs[i]) + carry
+            rneg.append(ti & MASK)
+            carry = ti >> LIMB_BITS
+        zero = jnp.zeros_like(lo)
+        rpos = [lo, hi] + [zero] * (L - 2)
+        rows = [jnp.where(neg, rneg[i], rpos[i]) for i in range(L)]
+        return jnp.stack(rows, axis=1)
+
     def _exec_block(self, x_w, x_n, B8, bb, interp):
         """Run the interpreter kernel(s) on one batch group; returns
-        the flat emission array (rows, L, 8, B8)."""
+        (wide emissions (rows, L, 8, B8) uint32,
+         narrow emissions (rows_n, 8, B8) int32)."""
         L = self.L
         K = self.K
+        KN = self.KN
         t = self.table
         n_win_b = max(self.n_win, 1)
         n_nin_b = max(self.n_nin, 1)
+        if self.hbm_nin:
+            # pre-slice narrow inputs per batch block for in-kernel DMA
+            G = B8 // bb
+            x_n = jnp.transpose(
+                x_n.reshape(n_nin_b, 8, G, bb), (2, 0, 1, 3))
+            inn_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+        else:
+            inn_spec = pl.BlockSpec((n_nin_b, 8, bb),
+                                    lambda g, c, *_: (0, 0, g),
+                                    memory_space=pltpu.VMEM)
         if len(self.calls) == 1:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 # 1D tables only: SMEM pads the minor dim to 128
                 # lanes, so a (n,6) table costs 512B/row (measured
                 # OOM at 1879 steps); 1D arrays cost 4B/step.
-                num_scalar_prefetch=9,
+                num_scalar_prefetch=10,
                 grid=(pl.cdiv(B8, bb), self.n_chunks),
                 in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
                                        lambda g, c, *_: (0, 0, 0, g),
                                        memory_space=pltpu.VMEM),
-                          pl.BlockSpec((n_nin_b, 8, bb),
-                                       lambda g, c, *_: (0, 0, g),
-                                       memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec((1, K + 1, L, 8, bb),
-                                       lambda g, c, *_:
-                                       (c, 0, 0, 0, g),
-                                       memory_space=pltpu.VMEM),
+                          inn_spec],
+                out_specs=(pl.BlockSpec((1, K + 1, L, 8, bb),
+                                        lambda g, c, *_:
+                                        (c, 0, 0, 0, g),
+                                        memory_space=pltpu.VMEM),
+                           pl.BlockSpec((1, KN + 1, 8, bb),
+                                        lambda g, c, *_:
+                                        (c, 0, 0, g),
+                                        memory_space=pltpu.VMEM)),
                 scratch_shapes=[
                     pltpu.VMEM((self.n_regs, L, 8, bb), jnp.uint32),
                     pltpu.VMEM((max(self.n_nregs, 1), 8, bb),
-                               jnp.int32)],
+                               jnp.int32)]
+                + ([pltpu.SemaphoreType.DMA((1,))] if self.hbm_nin
+                   else []),
             )
-            emits = pl.pallas_call(
+            emits, emits_n = pl.pallas_call(
                 self._make_kernel(bb),
-                out_shape=jax.ShapeDtypeStruct(
-                    (self.n_chunks, K + 1, L, 8, B8), jnp.uint32),
+                out_shape=(
+                    jax.ShapeDtypeStruct(
+                        (self.n_chunks, K + 1, L, 8, B8), jnp.uint32),
+                    jax.ShapeDtypeStruct(
+                        (self.n_chunks, KN + 1, 8, B8), jnp.int32)),
                 grid_spec=grid_spec,
                 interpret=interp,
-            )(self.starts, np.ascontiguousarray(t[:, 0]),
+            )(self.rstarts, self.r_op, self.r_s0,
               np.ascontiguousarray(t[:, 1]),
               np.ascontiguousarray(t[:, 2]),
               np.ascontiguousarray(t[:, 3]),
@@ -1197,26 +1750,30 @@ class InterpreterProgram:
               np.ascontiguousarray(t[:, 5]),
               np.ascontiguousarray(t[:, 6]),
               self.cbank.reshape(-1), x_w, x_n)
-            return emits.reshape(self.n_chunks * (K + 1), L, 8, B8)
+            return (emits.reshape(self.n_chunks * (K + 1), L, 8, B8),
+                    emits_n.reshape(self.n_chunks * (KN + 1), 8, B8))
         # multi-call paging: each call interprets a table slice
         # (padded to one shared shape = one Mosaic kernel) and
         # the register files ride through HBM between calls
         CS, CC = self.call_steps, self.call_chunks
+        CR = self.call_runs
         kernel = self._make_kernel(bb, whole=(B8 == bb))
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=9,
+            num_scalar_prefetch=10,
             grid=(pl.cdiv(B8, bb), CC),
             in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
                                    lambda g, c, *_: (0, 0, 0, g),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec((n_nin_b, 8, bb),
-                                   lambda g, c, *_: (0, 0, g),
-                                   memory_space=pltpu.VMEM),
+                      inn_spec,
                       pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                       pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
             out_specs=(pl.BlockSpec((1, K + 1, L, 8, bb),
                                     lambda g, c, *_:
                                     (c, 0, 0, 0, g),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, KN + 1, 8, bb),
+                                    lambda g, c, *_:
+                                    (c, 0, 0, g),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)),
@@ -1229,24 +1786,33 @@ class InterpreterProgram:
         rf_w = jnp.zeros((self.n_regs, L, 8, B8), jnp.uint32)
         rf_nn = jnp.zeros((max(self.n_nregs, 1), 8, B8),
                           jnp.int32)
-        parts = []
+        parts, parts_n = [], []
         for (a, b, s0, s1) in self.calls:
             tb = np.zeros((CS, 7), np.int32)
             tb[:s1 - s0] = t[s0:s1]
-            st = np.empty(CC + 1, np.int32)
-            seg = self.starts[a:b + 1] - s0
-            st[:len(seg)] = seg
-            st[len(seg):] = seg[-1]
-            emits_i, rf_w, rf_nn = pl.pallas_call(
+            r0, r1 = int(self.rstarts[a]), int(self.rstarts[b])
+            ropc = np.zeros(CR, np.int32)
+            ropc[:r1 - r0] = self.r_op[r0:r1]
+            rs0 = np.empty(CR + 1, np.int32)
+            rseg = self.r_s0[r0:r1 + 1] - s0
+            rs0[:len(rseg)] = rseg
+            rs0[len(rseg):] = rseg[-1]
+            rst = np.empty(CC + 1, np.int32)
+            seg = self.rstarts[a:b + 1] - r0
+            rst[:len(seg)] = seg
+            rst[len(seg):] = seg[-1]
+            emits_i, emits_ni, rf_w, rf_nn = pl.pallas_call(
                 kernel,
                 out_shape=(
                     jax.ShapeDtypeStruct(
                         (CC, K + 1, L, 8, B8), jnp.uint32),
+                    jax.ShapeDtypeStruct(
+                        (CC, KN + 1, 8, B8), jnp.int32),
                     jax.ShapeDtypeStruct(rf_w.shape, jnp.uint32),
                     jax.ShapeDtypeStruct(rf_nn.shape, jnp.int32)),
                 grid_spec=grid_spec,
                 interpret=interp,
-            )(st, np.ascontiguousarray(tb[:, 0]),
+            )(rst, ropc, rs0,
               np.ascontiguousarray(tb[:, 1]),
               np.ascontiguousarray(tb[:, 2]),
               np.ascontiguousarray(tb[:, 3]),
@@ -1255,7 +1821,9 @@ class InterpreterProgram:
               np.ascontiguousarray(tb[:, 6]),
               self.cbank.reshape(-1), x_w, x_n, rf_w, rf_nn)
             parts.append(emits_i.reshape(CC * (K + 1), L, 8, B8))
-        return jnp.concatenate(parts, axis=0)
+            parts_n.append(emits_ni.reshape(CC * (KN + 1), 8, B8))
+        return (jnp.concatenate(parts, axis=0),
+                jnp.concatenate(parts_n, axis=0))
 
 
     def run(self, inputs):

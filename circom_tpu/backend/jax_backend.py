@@ -573,6 +573,28 @@ class WitnessProgram:
     def jittable(self):
         return self._run
 
+    def run_mixed(self, inputs):
+        """Witness in MIXED representation: (narrow int32 (n_nw, B),
+        wide uint32 (n_wd, L, B)); row->witness-index maps from
+        mixed_layout().  Bit-class witness values stay one int32 each
+        (a SHA256 witness at batch 64k would be >100GB in limb form).
+        Only the in-kernel interpreter backend produces a narrow part;
+        other paths return everything wide."""
+        from .interp import InterpreterProgram
+
+        if isinstance(self.fused, InterpreterProgram) and (
+                self._mode in ("segments", "interp") or on_tpu()):
+            return self.fused.run_mixed(inputs)
+        wide = self.run(inputs)
+        return (jnp.zeros((0, wide.shape[2]), jnp.int32), wide)
+
+    def mixed_layout(self):
+        from .interp import InterpreterProgram
+
+        if isinstance(self.fused, InterpreterProgram):
+            return self.fused.mixed_layout()
+        return ([], list(range(self.n_witness)))
+
     # -- host-side convenience ------------------------------------------
     def encode_inputs(self, columns):
         """columns: list (len n_inputs) of lists of ints (len batch)

@@ -192,17 +192,17 @@ def expanded_ranges(xt: "ExpandedTape", input_ranges=None):
     def ok(lo, hi):
         return -NARROW_MAX <= lo and hi <= NARROW_MAX
 
-    for i in range(n):
+    def _tx(i):
         k = xt.kind[i]
         if k == "const":
             v = xt.cval[i]
             s = v if v <= half else v - p
             if abs(s) <= NARROW_MAX:
                 rng[i] = (s, s)
-            continue
+            return
         if k == "input":
             rng[i] = input_ranges.get(xt.iidx[i])
-            continue
+            return
         op = xt.ops[i]
         r = [rng[x] for x in xt.args[i]]
         imm = xt.imms[i]
@@ -248,4 +248,15 @@ def expanded_ranges(xt: "ExpandedTape", input_ranges=None):
             hi = r[0][1] << imm
             if hi <= NARROW_MAX and hi <= mask and hi < p:
                 rng[i] = (r[0][0] << imm, hi)
+
+    from .ranges import GadgetSharpener
+    sh = GadgetSharpener(
+        n, lambda i: xt.ops[i], lambda i: xt.args[i],
+        lambda i: ((xt.cval[i] if xt.cval[i] <= half
+                    else xt.cval[i] - p)
+                   if xt.kind[i] == "const" else None),
+        rng, ring_muls={"mulp"})
+    for i in range(n):
+        _tx(i)
+        sh.visit(i)
     return rng

@@ -30,6 +30,98 @@ _BITS01 = {"eq", "neq", "lt", "le", "gt", "ge", "land", "lor", "lnot"}
 _BITWISE = {"band", "bor", "bxor"}
 
 
+class GadgetSharpener:
+    """Exact-range refinement for quadratic bit gadgets.
+
+    Interval arithmetic loses correlation between repeated operands:
+    circomlib-style XOR/MAJ/CH gadgets (out = a*(1-2b-2c+4bc)+b+c-2bc)
+    get hull (-2,3) although the value is always a bit — which poisons
+    every downstream bound (bit*2^k weight products, AddModW sums).
+    For each node built from ring ops whose transitive ATOM support
+    (atoms = nodes with a proven width-<=1 range) has <= max_support
+    elements, enumerate all atom assignments exactly (correlation
+    preserved — a repeated atom is the same enumeration variable) and
+    intersect the enumerated hull with the interval hull.  Sound: the
+    true value is one of the enumerated ones whenever every atom's
+    proven range holds.
+
+    Call ``visit(i)`` right after the interval pass assigns rng[i], in
+    topological order, so refinements feed downstream bounds in the
+    same forward pass.  ``ring_muls``: plain-product opcode set ('mul'
+    on the source tape, 'mulp' post-expansion — Montgomery 'mul' is
+    NOT a ring op there).
+    """
+
+    def __init__(self, n, op_of, args_of, cval_of, rng, ring_muls,
+                 max_support=6, max_abs=1 << 40):
+        import numpy as np
+
+        self.np = np
+        self.op_of, self.args_of, self.cval_of = op_of, args_of, cval_of
+        self.rng = rng
+        self.ring = {"add", "sub", "neg"} | set(ring_muls)
+        self.max_support = max_support
+        self.max_abs = max_abs
+        self.support = [None] * n   # sorted atom-id tuple, or None
+        self.vec = [None] * n       # int64 values over the assignments
+
+    def _as_atom(self, i):
+        r = self.rng[i]
+        if r is not None and r[1] - r[0] <= 1 \
+                and abs(r[0]) < self.max_abs and abs(r[1]) < self.max_abs:
+            self.support[i] = () if r[0] == r[1] else (i,)
+            self.vec[i] = self.np.asarray(
+                [r[0]] if r[0] == r[1] else [r[0], r[1]], self.np.int64)
+
+    def _expand(self, v, s_from, s_to):
+        if s_from == s_to:
+            return v
+        np = self.np
+        m = np.arange(1 << len(s_to))
+        idx = np.zeros_like(m)
+        for j, a in enumerate(s_from):
+            idx |= ((m >> s_to.index(a)) & 1) << j
+        return v[idx]
+
+    def visit(self, i):
+        c = self.cval_of(i)
+        if c is not None:
+            if abs(c) < self.max_abs:
+                self.support[i] = ()
+                self.vec[i] = self.np.asarray([c], self.np.int64)
+            return
+        op = self.op_of(i)
+        args = self.args_of(i)
+        vec, support = self.vec, self.support
+        if op not in self.ring or not args \
+                or any(vec[x] is None for x in args):
+            self._as_atom(i)
+            return
+        s = tuple(sorted(set().union(*(support[x] for x in args))))
+        if len(s) > self.max_support:
+            self._as_atom(i)
+            return
+        vs = [self._expand(vec[x], support[x], s) for x in args]
+        if op == "add":
+            v = vs[0] + vs[1]
+        elif op == "sub":
+            v = vs[0] - vs[1]
+        elif op == "neg":
+            v = -vs[0]
+        else:
+            v = vs[0] * vs[1]
+        lo, hi = int(v.min()), int(v.max())
+        if abs(lo) >= self.max_abs or abs(hi) >= self.max_abs:
+            self._as_atom(i)
+            return
+        support[i], vec[i] = s, v
+        r = self.rng[i]
+        if r is not None:
+            lo, hi = max(lo, r[0]), min(hi, r[1])
+        if -NARROW_MAX <= lo and hi <= NARROW_MAX:
+            self.rng[i] = (lo, hi)
+
+
 def _hull(*ivs):
     return (min(lo for lo, _ in ivs), max(hi for _, hi in ivs))
 
@@ -52,7 +144,7 @@ def analyze_ranges(tape, input_ranges=None):
     def ok(lo, hi):
         return -NARROW_MAX <= lo and hi <= NARROW_MAX
 
-    for i in range(n):
+    def _tx(i):
         op = tape.ops[i]
         a = tape.args[i]
         imm = tape.imms[i]
@@ -62,38 +154,38 @@ def analyze_ranges(tape, input_ranges=None):
             s = v if v <= half else v - p
             if abs(s) <= NARROW_MAX:
                 rng[i] = (s, s)
-            continue
+            return
         if op == "input":
             rng[i] = input_ranges.get(imm)
-            continue
+            return
         if op in _BITS01:
             rng[i] = (0, 1)
-            continue
+            return
         if op == "add" and None not in r:
             lo, hi = r[0][0] + r[1][0], r[0][1] + r[1][1]
             if ok(lo, hi):
                 rng[i] = (lo, hi)
-            continue
+            return
         if op == "sub" and None not in r:
             lo, hi = r[0][0] - r[1][1], r[0][1] - r[1][0]
             if ok(lo, hi):
                 rng[i] = (lo, hi)
-            continue
+            return
         if op == "neg" and r[0] is not None:
             lo, hi = -r[0][1], -r[0][0]
             if ok(lo, hi):
                 rng[i] = (lo, hi)
-            continue
+            return
         if op == "mul" and None not in r:
             cs = [x * y for x in r[0] for y in r[1]]
             lo, hi = min(cs), max(cs)
             if ok(lo, hi):
                 rng[i] = (lo, hi)
-            continue
+            return
         if op == "select" and r[1] is not None and r[2] is not None:
             # cond may be wide (nonzero test); result is the hull
             rng[i] = _hull(r[1], r[2])
-            continue
+            return
         if op == "band":
             # band with a small constant narrows a WIDE operand too:
             # the result is bounded by the constant's bit pattern
@@ -108,23 +200,34 @@ def analyze_ranges(tape, input_ranges=None):
             known = [b for b in bounds if b is not None]
             if known and min(known) <= NARROW_MAX:
                 rng[i] = (0, min(known))
-            continue
+            return
         if op in ("bor", "bxor") and None not in r \
                 and r[0][0] >= 0 and r[1][0] >= 0:
             hi = max(r[0][1], r[1][1])
             hi = (1 << hi.bit_length()) - 1
             if hi <= NARROW_MAX:
                 rng[i] = (0, hi)
-            continue
+            return
         if op == "shr_k" and r[0] is not None and r[0][0] >= 0:
             rng[i] = (r[0][0] >> imm, r[0][1] >> imm)
-            continue
+            return
         if op == "shl_k" and r[0] is not None and r[0][0] >= 0:
             hi = r[0][1] << imm
             if hi <= NARROW_MAX and hi <= mask and hi < p:
                 rng[i] = (r[0][0] << imm, hi)
-            continue
+            return
         # everything else (div, pow, bnot, dynamic shifts, ...) is wide
+
+    half_p = half
+    sh = GadgetSharpener(
+        n, lambda i: tape.ops[i], lambda i: tape.args[i],
+        lambda i: ((tape.imms[i] if tape.imms[i] <= half_p
+                    else tape.imms[i] - p)
+                   if tape.ops[i] == "const" else None),
+        rng, ring_muls={"mul"})
+    for i in range(n):
+        _tx(i)
+        sh.visit(i)
 
     return rng
 

@@ -368,3 +368,63 @@ def test_interp_multi_call_paging():
         expect = list(cc.witness_host({"x": cols[0][b]}))
         got = [limbs_to_int(out[i, :, b]) for i in range(out.shape[0])]
         assert got == expect
+
+
+BITSUM_SRC = """
+pragma circom 2.0.0;
+template Mini() {
+    signal input a[8];
+    signal input b[8];
+    signal output out[8];
+    signal mid[8];
+    var lc = 0;
+    for (var k = 0; k < 8; k++) {
+        mid[k] <== a[k] * b[k];
+        lc += (a[k] + b[k] - 2*mid[k]) * 2 ** (k * 4);
+    }
+    signal bits[32];
+    var acc = 0;
+    for (var k = 0; k < 32; k++) {
+        bits[k] <-- (lc >> k) & 1;
+        bits[k] * (bits[k] - 1) === 0;
+        acc += bits[k] * 2 ** k;
+    }
+    acc === lc;
+    for (var k = 0; k < 8; k++) { out[k] <== bits[k * 4]; }
+}
+component main = Mini();
+"""
+
+
+def test_split_sum_bit_decomposition():
+    """SHA/Num2Bits-class hint sums run fully on the narrow lane.
+
+    The wide `lc` add-tree consumed only by (lc >> k) & 1 extractions
+    becomes two int32 component sums (interp.py split-sum pre-pass);
+    gadget-output bits are proven {0,1} by the exact small-support
+    enumerator (ranges.GadgetSharpener).  Matches the reference
+    runtime semantics of shift/band on the canonical field value
+    (code_producers/src/wasm_elements/common/witness_calculator.js).
+    """
+    from circom_tpu.backend.jax_backend import WitnessProgram
+
+    cc = compile_source(BITSUM_SRC, prime=PRIME)
+    tape, _ = cc.build_tape()
+    ranges = {i: (0, 1) for i in range(tape.n_inputs)}
+    prog = WitnessProgram(tape, SPEC, unroll_threshold=0, mode="interp",
+                          input_ranges=ranges)
+    # the plan must be pure-narrow: no Montgomery muls, shifts or widens
+    ops = prog.fused.stats()["ops"]
+    assert not any(op in ops for op in
+                   ("mul", "mul_c", "shr_kw", "nband_w", "widen")), ops
+    rng = random.Random(7)
+    B = 16
+    cols = [[rng.randrange(2) for _ in range(B)] for _ in range(16)]
+    arr = prog.encode_inputs(cols)
+    out = np.asarray(prog.run(arr))
+    for j in range(B):
+        w = cc.witness_host({
+            "a": [cols[k][j] for k in range(8)],
+            "b": [cols[k + 8][j] for k in range(8)]})
+        exp = np.asarray(ints_to_limbs(w, prog.jf.L))
+        assert (out[:, :, j] == exp).all()
