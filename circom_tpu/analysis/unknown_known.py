@@ -120,10 +120,18 @@ class UnknownKnownAnalysis:
         self.reports.add(r)
 
     def run(self):
-        for t in self.archive.templates.values():
-            self._run_body(t.args, t.body)
-        for b in self.archive.buses.values():
-            self._run_body(b.args, b.body)
+        # only definitions reachable from main: the reference prunes
+        # unreached templates before the semantic analyses
+        # (check_types.rs:57-71), so dead definitions never error
+        from .reach import reachable_definitions
+
+        reached = reachable_definitions(self.archive)
+        for name, t in self.archive.templates.items():
+            if name in reached:
+                self._run_body(t.args, t.body)
+        for name, b in self.archive.buses.items():
+            if name in reached:
+                self._run_body(b.args, b.body)
         return self.reports
 
     def _run_body(self, args, body):
@@ -255,6 +263,12 @@ class UnknownKnownAnalysis:
             return self._iterate(s.initializations, env)
         if isinstance(s, A.Declaration):
             kind = s.xtype.kind
+            # dimension check covers EVERY non-anonymous declaration,
+            # vars included (unknown_known_analysis.rs:136-150)
+            if kind != "anonymous_component":
+                for dim in s.dimensions:
+                    if self._tag(dim, env) == UNKNOWN:
+                        self.error("T20460", dim.meta)
             if kind == "var":
                 env.add_var(s.name, KNOWN, len(s.dimensions) > 0)
                 return (False, False, False, {s.name})
@@ -264,10 +278,6 @@ class UnknownKnownAnalysis:
                 env.signals[s.name] = None
             else:  # component / anonymous_component
                 env.components.add(s.name)
-            if kind != "anonymous_component":
-                for dim in s.dimensions:
-                    if self._tag(dim, env) == UNKNOWN:
-                        self.error("T20460", dim.meta)
             return (False, False, True, set())
         if isinstance(s, A.Substitution):
             return self._substitution(s, env)
@@ -308,8 +318,12 @@ class UnknownKnownAnalysis:
             return (cons, tags, sigs, modified)
         if isinstance(s, A.While):
             # fixpoint: iterate while the loop body turns more variables
-            # Unknown (check_modified, unknown_known_analysis.rs:447-466)
+            # Unknown (check_modified, unknown_known_analysis.rs:447-466);
+            # only the FINAL iteration's reports are kept — earlier
+            # iterations re-analyze the same body and would duplicate
+            # every error once per iteration
             while True:
+                n_reports = len(self.reports.reports)
                 before = env.copy()
                 cons, tags, sigs, modified = self._analyze(s.stmt, env)
                 changed = False
@@ -322,6 +336,7 @@ class UnknownKnownAnalysis:
                         f[0] = max(b[0], f[0])
                 if not changed:
                     break
+                del self.reports.reports[n_reports:]
             cond_tag = self._tag(s.cond, env)
             if cond_tag == UNKNOWN:
                 for var in modified:
