@@ -94,6 +94,22 @@ class R1CSChecker:
         res = jf.sub(jf.mont_mul(az, bz), cz)
         return jnp.all(jf.is_zero(res), axis=0)
 
+    def check_detailed(self, z):
+        """Like check(), but also returns the first violated constraint
+        index per witness (0 where satisfied) — the TPU analog of the
+        reference's injected per-constraint asserts (--sanity_check,
+        store_bucket.rs:674-733 / input_user.rs:514-520)."""
+        jf = self.jf
+        z_mont = jf.to_mont(z)
+        az = self._matvec(0, z_mont)
+        bz = self._matvec(1, z_mont)
+        cz = self._matvec(2, z_mont)
+        res = jf.sub(jf.mont_mul(az, bz), cz)
+        bad = ~jf.is_zero(res)              # (n_rows, B)
+        ok = ~jnp.any(bad, axis=0)
+        first_bad = jnp.argmax(bad, axis=0)
+        return ok, first_bad
+
     def check_witness_list(self, witnesses):
         """witnesses: list of lists of canonical ints -> bool per witness."""
         L = self.jf.L

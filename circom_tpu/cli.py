@@ -194,6 +194,27 @@ def main(argv=None):
             _print_reports(r, cc.archive.file_library)
             return 1
         out = prog.run(prog.encode_inputs(cols))
+        if args.sanity_check >= 1:
+            # batched Az∘Bz−Cz over every witness — the TPU equivalent
+            # of the reference's asserts injected into generated
+            # runtimes (input_user.rs:514-520, store_bucket.rs:674-733)
+            import numpy as np
+
+            from .backend.checker import R1CSChecker
+
+            checker = R1CSChecker(cc.r1cs_rows(), cc.counts()["n_wires"],
+                                  field_spec(args.prime))
+            import jax
+
+            ok, first_bad = jax.jit(checker.check_detailed)(out)
+            ok = np.asarray(ok)
+            if not ok.all():
+                first_bad = np.asarray(first_bad)
+                for bi in np.flatnonzero(~ok)[:10]:
+                    print(f"error[T3012]: witness {bi} violates "
+                          f"constraint {int(first_bad[bi])} "
+                          "(sanity check failed)", file=sys.stderr)
+                return 1
         decoded = prog.decode_outputs(out)
         for bi in range(len(batch_inputs)):
             wtns = os.path.join(outdir, f"{name}.{bi}.wtns")

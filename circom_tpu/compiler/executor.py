@@ -636,7 +636,7 @@ class Executor:
         if kind == "anonymous_component":
             dims = []  # loop-counter dimension: sized on use
         else:
-            dims = [self._index_value(self._eval(d, frame), d)
+            dims = [self._index_value(self._eval(d, frame), d.meta)
                     for d in s.dimensions]
         if kind == "var":
             frame.declare_var(s.name, Slice.filled(dims, None))
@@ -1375,9 +1375,19 @@ class Executor:
         tmpl = self.archive.templates.get(cs.template)
         impl = EXTERN_IMPLS.get(cs.template)
         if impl is not None and tmpl is not None \
-                and getattr(tmpl, "is_extern_c", False) \
-                and self.mode == "hostwit":
-            self._apply_extern_impl(child, cs, impl, inputs)
+                and getattr(tmpl, "is_extern_c", False):
+            if self.mode == "hostwit":
+                self._apply_extern_impl(child, cs, impl, inputs)
+            elif self.mode == "tape":
+                # a registered extern implementation is authoritative
+                # for outputs (reference extern_c linkage); silently
+                # executing the template body instead would make the
+                # TPU path diverge from the host path — fail loudly so
+                # the caller falls back to the host calculator
+                raise NotImplementedError(
+                    f"extern_c template '{cs.template}' has a registered "
+                    "host implementation; the tape path cannot apply it "
+                    "(use the host witness calculator)")
         self._witness_path = saved
         # splice child's computed signals into the parent-facing state
         for name, decl in child.signals.items():

@@ -57,6 +57,25 @@ def shard_program(program, mesh, axis="batch", use_fused=None):
     )
 
 
+def shard_program_mixed(program, mesh, axis="batch"):
+    """shard_map the fused interpreter's MIXED-witness path over the
+    batch axis: (narrow int32 (n_nw, B), wide uint32 (n_wd, L, B)),
+    batch sharded, zero collectives.  The production path for SHA-class
+    (bit-heavy) circuits at scale — the full-limb witness would not
+    even fit one device's HBM at large batch."""
+    from jax.experimental.shard_map import shard_map
+
+    in_spec = P(None, None, axis)
+    out_specs = (P(None, axis), P(None, None, axis))
+    body = shard_map(program.fused._run_mixed, mesh=mesh,
+                     in_specs=(in_spec,), out_specs=out_specs,
+                     check_rep=False)
+    return jax.jit(
+        body,
+        in_shardings=NamedSharding(mesh, in_spec),
+        out_shardings=tuple(NamedSharding(mesh, s) for s in out_specs))
+
+
 def shard_checker(check_fn, mesh, axis="batch"):
     """R1CS checker sharded on batch (z: (n_wires, L, batch)); the final
     all-ok reduction is a jnp.all over the sharded residual (XLA inserts

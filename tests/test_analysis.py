@@ -104,3 +104,45 @@ function f(x) { x === 1; return x; }
 template T() { signal input a; signal output b; b <== a * f(1); }
 component main = T();
 """, "T2014")
+
+
+def test_var_unknown_dimension_reported():
+    """var v[a] with signal-dependent a reports T20460 at analysis time
+    (unknown_known_analysis.rs:136-150 checks every declaration kind)."""
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input a;
+    signal output o;
+    var v[a];
+    o <== a;
+}
+component main = T();
+"""
+    with pytest.raises(Exception) as ei:
+        compile_source(src)
+    assert "T20460" in str(getattr(ei.value, "reports", ei.value)) or \
+        any(r.code == "T20460" for r in getattr(ei.value, "reports", []))
+
+
+def test_unreached_template_not_analyzed():
+    """Templates unreachable from main are pruned before semantic
+    analyses (check_types.rs:57-71): an unknown-dependent construct in
+    a dead template must not error."""
+    src = """
+pragma circom 2.0.0;
+template Dead() {
+    signal input a;
+    signal output o;
+    var v[a];
+    o <== a;
+}
+template T() {
+    signal input x;
+    signal output y;
+    y <== x + 1;
+}
+component main = T();
+"""
+    cc = compile_source(src)
+    assert cc.witness_host({"x": 3})[1] == 4

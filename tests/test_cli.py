@@ -1,0 +1,84 @@
+"""CLI driver behavior (reference circom/src/main.rs exit protocol).
+
+Uses goldilocks so the fused TPU kernels are fast in CPU interpret
+mode (see test_fused.py header).
+"""
+
+import json
+import os
+
+from circom_tpu.cli import main
+
+GOOD = """
+pragma circom 2.0.0;
+template T() {
+    signal input in;
+    signal output o;
+    o <== in * in + 1;
+}
+component main = T();
+"""
+
+# the <-- hint violates the === constraint: every witness from the
+# batched TPU path must fail the injected sanity check
+BAD_HINT = """
+pragma circom 2.0.0;
+template T() {
+    signal input in;
+    signal output o;
+    o <-- in + 1;
+    o * 1 === in + 2;
+}
+component main = T();
+"""
+
+
+def _write(tmp_path, name, src):
+    p = tmp_path / name
+    p.write_text(src)
+    return str(p)
+
+
+def _inputs(tmp_path, rows):
+    p = tmp_path / "inputs.json"
+    p.write_text(json.dumps(rows))
+    return str(p)
+
+
+def test_witness_tpu_sanity_check_passes(tmp_path, capsys):
+    circ = _write(tmp_path, "good.circom", GOOD)
+    inp = _inputs(tmp_path, [{"in": 3}, {"in": 5}])
+    rc = main([circ, "--prime", "goldilocks", "-o", str(tmp_path),
+               "--witness-tpu", inp, "--sanity_check", "2"])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "good.0.wtns")
+    from circom_tpu.emit.binfmt import read_wtns
+
+    w = read_wtns(str(tmp_path / "good.0.wtns"))
+    assert w["values"][1] == 10  # first output: 3*3+1
+
+
+def test_witness_tpu_sanity_check_catches_bad_hint(tmp_path, capsys):
+    """--sanity_check >= 1 runs the batched Az∘Bz−Cz checker on the
+    TPU witness path and fails with the offending constraint, matching
+    the reference's injected runtime asserts (input_user.rs:514-520,
+    store_bucket.rs:674-733)."""
+    circ = _write(tmp_path, "bad.circom", BAD_HINT)
+    inp = _inputs(tmp_path, [{"in": 3}])
+    rc = main([circ, "--prime", "goldilocks", "-o", str(tmp_path),
+               "--witness-tpu", inp, "--sanity_check", "1"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "T3012" in err and "constraint" in err
+    assert not os.path.exists(tmp_path / "bad.0.wtns")
+
+
+def test_witness_tpu_sanity_check_off(tmp_path):
+    """--sanity_check 0 skips the checker (reference parity: level 0
+    disables injected asserts)."""
+    circ = _write(tmp_path, "bad.circom", BAD_HINT)
+    inp = _inputs(tmp_path, [{"in": 3}])
+    rc = main([circ, "--prime", "goldilocks", "-o", str(tmp_path),
+               "--witness-tpu", inp, "--sanity_check", "0"])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "bad.0.wtns")

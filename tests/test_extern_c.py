@@ -69,3 +69,19 @@ def test_extern_c_banner_signature():
     assert "needs to be implemented" in banner
     banner64 = _extern_c_banner(cc.archive.templates["Neg"], "goldilocks")
     assert "uint64_t* out" in banner64
+
+
+def test_extern_impl_rejected_on_tape_path():
+    """A registered extern implementation is authoritative everywhere
+    (reference extern_c linkage): the tape path must fail loudly rather
+    than silently executing the template body and diverging from the
+    host calculator."""
+    import pytest
+
+    cc = compile_source(SRC, prime=PRIME)
+    register_extern("Neg", lambda args, ins: {"out": [7]})
+    try:
+        with pytest.raises(NotImplementedError, match="extern_c"):
+            cc.build_tape()
+    finally:
+        EXTERN_IMPLS.pop("Neg", None)
