@@ -46,6 +46,13 @@ class Analyzer:
             self.check_bus(b)
         self.check_main()
         if not self.reports.has_errors:
+            # static dimension/type check over every reachable body,
+            # executed or not (type_check.rs:83-1564 runs before the
+            # semantic analyses)
+            from .type_check import check_types_static
+
+            self.reports.extend(check_types_static(self.archive))
+        if not self.reports.has_errors:
             # static unknown/known dataflow (reference runs it after the
             # structural battery, check_types.rs:77-83)
             from .unknown_known import unknown_known_analysis

@@ -206,6 +206,9 @@ class WitnessProgram:
         # (loop-carried register files force whole-buffer copies per step).
         self.unroll = len(self.dt.ops) <= unroll_threshold
         self.n_witness = len(self.dt.outputs)
+        # trailing guard outputs from predicated while unrolling: the
+        # caller must check these rows are zero (see pipeline.build_tape)
+        self.n_guards = getattr(tape, "n_guards", 0)
         if not self.unroll:
             self._schedule_and_allocate()
         else:

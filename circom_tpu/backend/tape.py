@@ -44,6 +44,7 @@ class Tape:
         self._cse: dict = {}
         self.n_inputs = 0
         self.outputs: list[int] = []     # node ids in witness order
+        self.n_guards = 0    # trailing outputs = while-unroll guards
 
     def __len__(self):
         return len(self.ops)

@@ -106,6 +106,8 @@ def main(argv=None):
             args.input, prime=args.prime,
             link_libraries=args.link_libraries, no_init=args.no_init,
             simplification=simpl, rounds=rounds, parallel=args.parallel,
+            use_old_heuristics=args.use_old_simplification_heuristics,
+            verbose=args.verbose,
         )
     except (Report, ReportCollection) as r:
         _print_reports(r, None)
@@ -194,6 +196,20 @@ def main(argv=None):
             _print_reports(r, cc.archive.file_library)
             return 1
         out = prog.run(prog.encode_inputs(cols))
+        n_wit = prog.n_witness - prog.n_guards
+        if prog.n_guards:
+            # predicated while-unroll guards must be zero: nonzero means
+            # some witness needed more loop iterations than the static
+            # unroll bound (pipeline.build_tape)
+            import numpy as np
+
+            g = np.asarray(out[n_wit:])
+            if g.any():
+                print("error[T3013]: data-dependent while loop exceeded "
+                      "the unroll bound for some witness (increase "
+                      "while_max_unroll)", file=sys.stderr)
+                return 1
+            out = out[:n_wit]
         if args.sanity_check >= 1:
             # batched Az∘Bz−Cz over every witness — the TPU equivalent
             # of the reference's asserts injected into generated

@@ -350,7 +350,8 @@ class Frame:
 class Executor:
     def __init__(self, archive, mode: str, tape: Tape = None,
                  dag: DAG = None, memo: dict = None, sanity_check: int = 2,
-                 log_sink=None):
+                 log_sink=None, verbose: bool = False,
+                 while_max_unroll: int = 64):
         from ..field.primes import FieldSpec
 
         self.archive = archive
@@ -369,6 +370,9 @@ class Executor:
         self.memo = memo if memo is not None else {}
         self.sanity_check = sanity_check
         self.log_sink = log_sink if log_sink is not None else []
+        self.verbose = verbose
+        self.while_max_unroll = while_max_unroll
+        self.tape_guards = []          # active-flags of unrolled whiles
         self.instances_by_path = {}    # witness modes: path -> ComponentState
         self.bus_memo = {}             # (bus, params) -> BusLayout
         self.warnings = []
@@ -1459,11 +1463,7 @@ class Executor:
             known = self.domain.as_cond(cond)
             if known is None:
                 if self.mode == "tape":
-                    raise err(
-                        "data-dependent while loop cannot be compiled to "
-                        "the TPU tape (use the host calculator)",
-                        "T2049", s.meta,
-                    )
+                    return self._exec_while_predicated(s, cond, frame)
                 # constrain mode: execute once in unknown block; vars
                 # touched become unknown (execute.rs conditional fork)
                 snapshot = _snapshot_scopes(frame)
@@ -1480,6 +1480,36 @@ class Executor:
                 return
             self._exec_stmt(s.stmt, frame)
 
+    def _exec_while_predicated(self, s: A.While, cond, frame):
+        """Witness-dependent `while` on the tape path: predicated
+        unrolling.  The reference's emitted runtimes execute
+        data-dependent loops at runtime (intermediate_representation/
+        loop_bucket.rs); the tape is straight-line, so each unrolled
+        iteration executes under active_k = cond_0 && ... && cond_k
+        with masked var updates (the unknown-if select merge), and the
+        final `active` flag is recorded as a runtime GUARD: a nonzero
+        guard means the loop needed more than `while_max_unroll`
+        iterations for some batch element (silent truncation would
+        otherwise produce a wrong witness).  Signals cannot be assigned
+        under an unknown condition (unknown/known analysis), so only
+        vars merge."""
+        active = cond
+        for _ in range(self.while_max_unroll):
+            snapshot = _snapshot_scopes(frame)
+            frame.unknown_depth += 1
+            try:
+                self._exec_stmt(s.stmt, frame)
+                after = _snapshot_scopes(frame)
+            finally:
+                frame.unknown_depth -= 1
+            merged = _merge_scopes(after, snapshot, active, self.domain)
+            _restore_scopes(frame, merged)
+            cond2 = self._eval(s.cond, frame)
+            active = self.domain.infix("&&", active, cond2, s.meta)
+            if self.domain.as_cond(active) is False:
+                return
+        self.tape_guards.append(active)
+
     def _exec_log(self, s: A.LogCall, frame):
         parts = []
         for arg in s.args:
@@ -1488,8 +1518,13 @@ class Executor:
             else:
                 v = self._eval(arg.expr, frame)
                 k = self.domain.known_int(v)
-                parts.append(str(k) if k is not None else "<unknown>")
-        self.log_sink.append(" ".join(parts))
+                parts.append(str(k) if k is not None else "Unknown")
+        line = " ".join(parts)
+        self.log_sink.append(line)
+        if self.verbose:
+            # --verbose: known-value logs during constraint generation
+            # (execute.rs:730-754 prints numbers, "Unknown" otherwise)
+            print(line)
 
     def _exec_assert(self, s: A.Assert, frame):
         v = self._eval(s.arg, frame)

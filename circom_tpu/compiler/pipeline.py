@@ -23,7 +23,7 @@ from .simplify import SimplifiedSystem, simplify
 class CompiledCircuit:
     def __init__(self, archive, dag: DAG, memo, main_node_id,
                  simplification: str = "O1", rounds: int = 0,
-                 parallel: bool = False):
+                 parallel: bool = False, use_old_heuristics: bool = False):
         self.archive = archive
         self.dag = dag
         self.memo = memo
@@ -37,7 +37,8 @@ class CompiledCircuit:
             if simplification == "O2" and rounds == 0:
                 rounds = 1 << 30  # plain --O2: iterate to fixpoint
             self.simplified = simplify(dag, self.hf, simplification, rounds,
-                                       parallel=parallel)
+                                       parallel=parallel,
+                                       use_old_heuristics=use_old_heuristics)
 
     # -- constraint artifacts -------------------------------------------
     def r1cs_rows(self):
@@ -150,6 +151,16 @@ class CompiledCircuit:
         refs = self._select_witness(full)
         out_refs = [tape.const(r) if isinstance(r, int) else r for r in refs]
         tape.set_outputs(out_refs)
+        if ex.tape_guards:
+            # data-dependent while loops were unrolled with predication;
+            # the summed active-flags ride as ONE trailing output the
+            # runtime must verify is zero (nonzero = some batch element
+            # needed more iterations than the unroll bound)
+            g = ex.tape_guards[0]
+            for x in ex.tape_guards[1:]:
+                g = tape.emit("add", g, x)
+            tape.outputs.append(g.id)
+            tape.n_guards = 1
         return tape, self.input_layout()
 
     def input_layout(self):
@@ -190,44 +201,74 @@ class CompiledCircuit:
         return c["n_wires"]
 
     def inspect(self):
-        """--inspect warnings: signals not appearing in any constraint
-        (dag/src/constraint_correctness_analysis.rs:100-173); underscored
-        signals count as used."""
+        """--inspect warnings (constraint_correctness_analysis.rs:73-173):
+        local signals (CA01) and subcomponent io signals (CA02) that do
+        not appear in any constraint of the (father) component; arrays
+        group into one warning with examples; underscored signals count
+        as used; one report per template name; custom gates skipped."""
         warnings = []
-        for node in self.dag.nodes:
+        visited = set()
+        for node_id, node in enumerate(self.dag.nodes):
+            if node.is_custom_gate or node.template_name in visited:
+                continue
+            visited.add(node.template_name)
             used = set(node.underscored_signals)
             for c in node.constraints:
                 used |= c.signals()
-            inv = {v: k for k, v in node.signal_correspondence.items()}
-            n_io = node.outputs_length + node.inputs_length
-            for s in sorted(node.locals):
+            # reachable = own locals + direct subcomponent io
+            reach_io = set()
+            for edge in self.dag.adjacency[node_id]:
+                child = self.dag.nodes[edge.goes_to]
+                for sid in child.io_signals:
+                    reach_io.add(edge.in_number + sid)
+            groups = {}  # base name -> [is_local, [examples]]
+            for name, s in sorted(node.signal_correspondence.items()):
+                is_local = s in node.locals
+                if not is_local and s not in reach_io:
+                    continue  # nested subcomponent internals
                 if s in used:
                     continue
-                name = inv.get(s, str(s))
-                if s <= n_io:
-                    kind = "input/output signal"
+                base = name.split("[")[0]
+                g = groups.setdefault(base, [is_local, []])
+                g[1].append(name)
+            for base, (is_local, ex) in sorted(groups.items()):
+                kind = ("Local signal" if is_local
+                        else "Subcomponent input/output signal")
+                suffix = ("" if is_local
+                          else " of the father component")
+                code = "CA01" if is_local else "CA02"
+                if len(ex) == 1:
+                    msg = (f'In template "{node.template_name}": {kind} '
+                           f"{ex[0]} does not appear in any "
+                           f"constraint{suffix}")
+                    warnings.append(Report.warning(msg, code))
                 else:
-                    kind = "local signal"
-                warnings.append(Report.warning(
-                    f"in template {node.template_name}: {kind} '{name}' "
-                    "does not appear in any constraint", "CA0001"))
+                    msg = (f'In template "{node.template_name}": Array '
+                           f"of {kind.lower()}s {base} contains a total "
+                           f"of {len(ex)} signals that do not appear in "
+                           f"any constraint{suffix}")
+                    r = Report.warning(msg, code)
+                    r.add_note(f"For example: {ex[0]}, {ex[1]}.")
+                    warnings.append(r)
         return warnings
 
 
 def compile_circuit(path: str, prime: str = "bn128", link_libraries=(),
                     no_init: bool = False, simplification: str = "O1",
-                    rounds: int = 0,
-                    parallel: bool = False) -> CompiledCircuit:
+                    rounds: int = 0, parallel: bool = False,
+                    use_old_heuristics: bool = False,
+                    verbose: bool = False) -> CompiledCircuit:
     spec = field_spec(prime)
     archive, warnings = run_parser(
         path, spec.p, prime, link_libraries, no_init)
     from ..analysis.checks import analyse_program
 
     analyse_program(archive)
-    ex = Executor(archive, "constrain")
+    ex = Executor(archive, "constrain", verbose=verbose)
     main_node_id = ex.run_constrain()
     return CompiledCircuit(archive, ex.dag, ex.memo, main_node_id,
-                           simplification, rounds, parallel=parallel)
+                           simplification, rounds, parallel=parallel,
+                           use_old_heuristics=use_old_heuristics)
 
 
 def compile_source(source: str, prime: str = "bn128", tmpdir=None,

@@ -194,6 +194,81 @@ def _gauss_cluster(cluster, forbidden, hf):
     return out_subs, cons
 
 
+def _gauss_cluster_new(cluster, forbidden, hf):
+    """The reference's 'new' heuristics (substitution_process_4,
+    simplification_utils.rs:156-186): signals occurring in exactly one
+    constraint are substituted out first (treat_unique_constraint_4),
+    then each constraint eliminates its LEAST-OCCURRING eligible signal
+    (take_signal_4; ties to the larger id).  Occurrence counts are kept
+    over the remaining constraint set.  Substitutions are kept closed
+    incrementally, so the conflict-merge loop of the reference never
+    triggers (equivalent result, same as _gauss_cluster)."""
+    from collections import Counter
+
+    occ = Counter()
+    for c in cluster:
+        for s in c.signals():
+            occ[s] += 1
+    work = sorted(cluster, key=lambda c: (_take_signals_ordered(c),
+                                          sorted(c.c.items())))
+    # unique-occurrence eliminables first, in deterministic order
+    uniq_first, rest = [], []
+    for c in work:
+        if any(occ[s] == 1 and s not in forbidden for s in c.signals()):
+            uniq_first.append(c)
+        else:
+            rest.append(c)
+    subs = {}
+    cons = []
+    for c0 in uniq_first + rest:
+        for s in c0.signals():
+            occ[s] -= 1
+        c = Constraint({}, {}, dict(c0.c))
+        for s in list(c.signals()):
+            if s in subs:
+                c.apply_substitution(Substitution(s, subs[s]), hf)
+        c.fixed(hf)
+        if c.is_empty():
+            continue
+        sigs = [s for s in _take_signals_ordered(c) if s not in forbidden]
+        if not sigs:
+            cons.append(c)
+            continue
+        target = min(sigs, key=lambda s: (occ[s], -s))
+        sub = Substitution.from_constraint(c, target, hf)
+        for k in list(subs.keys()):
+            if target in subs[k]:
+                coef = subs[k].pop(target)
+                for s2, v2 in sub.coeffs.items():
+                    nv = hf.add(subs[k].get(s2, 0), hf.mul(coef, v2))
+                    if nv == 0:
+                        subs[k].pop(s2, None)
+                    else:
+                        subs[k][s2] = nv
+        subs[target] = sub.coeffs
+    out_subs = [Substitution(k, v) for k, v in subs.items()]
+    return out_subs, cons
+
+
+def _gauss_cluster_auto(cluster, forbidden, hf):
+    """Default strategy: per-cluster dispatch (picklable for the
+    process-pool path)."""
+    return _gauss_solver_for(cluster, False)(cluster, forbidden, hf)
+
+
+def _gauss_solver_for(cluster, use_old_heuristics):
+    """Strategy dispatch per cluster, mirroring full_simplification
+    (simplification_utils.rs:547-571): the least-occurrences strategy
+    applies to clusters of 350..1M constraints unless the old
+    heuristics are requested; smaller/larger clusters (and the
+    --use_old_simplification_heuristics flag) use the
+    largest-signal strategy."""
+    n = len(cluster)
+    if 350 <= n < 1_000_000 and not use_old_heuristics:
+        return _gauss_cluster_new
+    return _gauss_cluster
+
+
 def _solve_clusters(clusters, forbidden, hf, solver, parallel):
     """Solve independent signal clusters, optionally on a process pool.
 
@@ -222,8 +297,14 @@ def _solve_clusters(clusters, forbidden, hf, solver, parallel):
 
 
 def simplify(dag: DAG, hf: HostField, mode: str = "O1", rounds: int = 0,
-             parallel: bool = False):
-    """mode: 'O1' (equalities + constants) or 'O2' (adds linear Gauss)."""
+             parallel: bool = False, use_old_heuristics: bool = False):
+    """mode: 'O1' (equalities + constants) or 'O2' (adds linear Gauss).
+
+    use_old_heuristics mirrors --use_old_simplification_heuristics:
+    always the largest-signal elimination strategy; the default picks
+    least-occurrences for mid-size clusters (full_simplification,
+    simplification_utils.rs:547-571)."""
+    gauss = _gauss_cluster if use_old_heuristics else _gauss_cluster_auto
     forbidden = set(dag.get_main().forbidden_if_main)
     const_eqs, eqs, linear, nonlinear = [], [], [], []
     max_signal = 1
@@ -281,7 +362,7 @@ def simplify(dag: DAG, hf: HostField, mode: str = "O1", rounds: int = 0,
     if mode == "O2":
         clusters = _build_clusters([c for c in linear if not c.is_empty()])
         for subs, cons in _solve_clusters(clusters, forbidden, hf,
-                                          _gauss_cluster, parallel):
+                                          gauss, parallel):
             lconst.extend(cons)
             for s in subs:
                 lin_frame[s.signal] = s.coeffs
@@ -313,7 +394,7 @@ def simplify(dag: DAG, hf: HostField, mode: str = "O1", rounds: int = 0,
             [c for c in became_linear if not c.is_empty()])
         became_linear = []
         for subs, cons in _solve_clusters(clusters, forbidden, hf,
-                                          _gauss_cluster, parallel):
+                                          gauss, parallel):
             lconst.extend(cons)
             for s in subs:
                 round_frame[s.signal] = s.coeffs

@@ -209,3 +209,54 @@ component main = T();
 
 def test_dynamic_array_write():
     run_batched(DYNAMIC_WRITE, [{"sel": 2}, {"sel": 7}, {"sel": 0}])
+
+
+def test_witness_dependent_while_on_tape():
+    """Data-dependent `while` compiles to the tape via predicated
+    unrolling (reference executes loop_bucket.rs at runtime); a trailing
+    guard output is nonzero iff some batch element exceeded the unroll
+    bound.  Circomlib-style bigint division hint."""
+    import numpy as np
+
+    from circom_tpu.ops.limbs import limbs_to_int
+
+    src = """
+pragma circom 2.0.0;
+template Div() {
+    signal input a;
+    signal input b;
+    signal output q;
+    signal output r;
+    var quo = 0;
+    var rem = a;
+    while (rem >= b) {
+        rem = rem - b;
+        quo = quo + 1;
+    }
+    q <-- quo;
+    r <-- rem;
+    a === q * b + r;
+}
+component main = Div();
+"""
+    cc = compile_source(src, prime="goldilocks")
+    tape, _ = cc.build_tape()
+    assert tape.n_guards == 1
+    prog = WitnessProgram(tape, field_spec("goldilocks"),
+                          unroll_threshold=0, mode="interp")
+    import random
+
+    rng = random.Random(2)
+    B = 8
+    cols = [[rng.randrange(1, 300) for _ in range(B)],
+            [rng.randrange(1, 17) for _ in range(B)]]
+    out = np.asarray(prog.run(prog.encode_inputs(cols)))
+    n_wit = prog.n_witness - prog.n_guards
+    assert not out[n_wit:].any()
+    for j in range(B):
+        w = cc.witness_host({"a": cols[0][j], "b": cols[1][j]})
+        got = [limbs_to_int(out[i, :, j]) for i in range(n_wit)]
+        assert got == list(w)
+    # bound overflow -> guard fires
+    out2 = np.asarray(prog.run(prog.encode_inputs([[100000], [1]])))
+    assert out2[n_wit:].any()

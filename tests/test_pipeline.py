@@ -284,3 +284,107 @@ def test_parallel_simplification_deterministic():
     par = compile_source(src, simplification="O2", parallel=True)
     assert seq.r1cs_rows() == par.r1cs_rows()
     assert seq.counts() == par.counts()
+
+
+def test_simplification_heuristics_strategies():
+    """--use_old_simplification_heuristics switches the O2 Gauss
+    strategy (largest-signal) vs the default least-occurrences for
+    mid-size clusters (full_simplification dispatch,
+    simplification_utils.rs:547-571).  Both must produce correct,
+    equally-sized systems; the substitution choices differ."""
+    from circom_tpu.compiler.algebra import Constraint
+    from circom_tpu.compiler.simplify import (_gauss_cluster,
+                                              _gauss_cluster_new,
+                                              _gauss_solver_for)
+    from circom_tpu.field.hostfield import HostField
+    from circom_tpu.field.primes import field_spec
+
+    hf = HostField(field_spec("goldilocks"))
+    # occ(1)=1, occ(2)=2, occ(3)=1: on c1 the old strategy
+    # eliminates the largest signal (2), the new strategy the
+    # least-occurring one (1) -> different substitution sets.
+    c1 = Constraint({}, {}, {1: 1, 2: 1, 0: 7})
+    c2 = Constraint({}, {}, {2: 1, 3: 5})
+    cluster = [c1, c2]
+    subs_old, cons_old = _gauss_cluster(list(cluster), set(), hf)
+    subs_new, cons_new = _gauss_cluster_new(list(cluster), set(), hf)
+    assert len(cons_old) == len(cons_new) == 0
+    assert {s.signal for s in subs_old} != {s.signal for s in subs_new}
+    # dispatch rule: mid-size clusters use the new strategy by default
+    big = [c1] * 400
+    assert _gauss_solver_for(big, False) is _gauss_cluster_new
+    assert _gauss_solver_for(big, True) is _gauss_cluster
+    assert _gauss_solver_for([c1], False) is _gauss_cluster
+
+
+def test_o2_constraint_count_regression():
+    """Track O2 output size on Poseidon2 (divergence from these counts
+    means the simplification behavior changed)."""
+    from circom_tpu.circuits.gen_poseidon import generate
+
+    src = generate((2,)) + "\ncomponent main = Poseidon2();\n"
+    cc = compile_source(src, simplification="O2")
+    assert len(cc.r1cs_rows()) == 237
+    assert cc.counts()["n_wires"] == 240
+    cc1 = compile_source(src, simplification="O1")
+    assert len(cc1.r1cs_rows()) == 320
+    assert cc1.counts()["n_wires"] == 323
+
+
+def test_inspect_taxonomy():
+    """--inspect distinguishes local signals (CA01) from subcomponent
+    io signals (CA02) and groups arrays with examples
+    (constraint_correctness_analysis.rs:73-173)."""
+    src = """
+pragma circom 2.0.0;
+template Inner() {
+    signal input a;
+    signal output o;
+    signal output unused_out;
+    o <== a * a;
+    unused_out <-- 5;
+    unused_out * 0 === 0;
+}
+template T() {
+    signal input x;
+    signal output y;
+    signal dead[3];
+    for (var k = 0; k < 3; k++) { dead[k] <-- k; }
+    component c = Inner();
+    c.a <== x;
+    y <== c.o;
+}
+component main = T();
+"""
+    cc = compile_source(src, simplification="O0")
+    ws = cc.inspect()
+    by_code = {}
+    for w in ws:
+        by_code.setdefault(w.code, []).append(w.message)
+    assert any("unused_out" in m for m in by_code["CA01"])
+    assert any("c.unused_out" in m and "father" in m
+               for m in by_code["CA02"])
+    assert any("Array of local signals dead" in m and "3 signals" in m
+               for m in by_code["CA01"])
+
+
+def test_verbose_logs_known_values(capsys):
+    """--verbose prints log() arguments during constraint generation;
+    signal-dependent values print Unknown (execute.rs:730-754)."""
+    src = """
+pragma circom 2.0.0;
+template T(n) {
+    signal input x;
+    signal output y;
+    log("n is", n);
+    log("x is", x);
+    y <== x * n;
+}
+component main = T(7);
+"""
+    compile_source(src, verbose=True)
+    out = capsys.readouterr().out
+    assert "n is 7" in out
+    assert "x is Unknown" in out
+    compile_source(src)  # default: silent
+    assert "n is 7" not in capsys.readouterr().out

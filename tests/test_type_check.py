@@ -1,0 +1,192 @@
+"""Static dimension/type analysis (reference type_check.rs:83-1564).
+
+Errors must surface at ANALYSIS time — including in branches the
+executor never reaches and with the whole battery reported at once —
+with the reference's stable codes (error_code.rs).
+"""
+
+import pytest
+
+from circom_tpu.compiler.pipeline import compile_source
+from circom_tpu.utils.reports import ReportCollection
+
+
+def codes_of(src):
+    with pytest.raises(ReportCollection) as ei:
+        compile_source(src)
+    return [r.code for r in ei.value.reports]
+
+
+def test_dead_branch_dimension_error_is_static():
+    # the executor never runs the if-branch; the static pass must
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input x;
+    signal output y;
+    var v[2][3];
+    if (0 == 1) {
+        y <== v[0][1][2];
+    }
+    y <== x;
+}
+component main = T();
+"""
+    assert "T2032" in codes_of(src)
+
+
+def test_array_operand_in_arithmetic():
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input x;
+    signal output y;
+    var v[2];
+    if (0 == 1) { var w = v + 1; }
+    y <== x;
+}
+component main = T();
+"""
+    assert "T2044" in codes_of(src)
+
+
+def test_ternary_branch_dims_mismatch():
+    src = """
+pragma circom 2.0.0;
+function f(n) {
+    var a[2] = [1, 2];
+    return n > 0 ? a : 3;
+}
+template T() {
+    signal input x;
+    signal output y;
+    var q[2] = f(1);
+    y <== x;
+}
+component main = T();
+"""
+    assert "T2019" in codes_of(src)
+
+
+def test_assignment_dims_mismatch():
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input x;
+    signal output y;
+    var v[2];
+    if (0 == 1) { v = 5; }
+    y <== x;
+}
+component main = T();
+"""
+    assert "T2061" in codes_of(src)
+
+
+def test_function_inconsistent_returns():
+    src = """
+pragma circom 2.0.0;
+function g(n) {
+    if (n > 0) { return [1, 2]; }
+    return 3;
+}
+template T() {
+    signal input x;
+    signal output y;
+    var q = g(0);
+    y <== x;
+}
+component main = T();
+"""
+    assert "T2013" in codes_of(src)
+
+
+def test_main_with_tagged_inputs():
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input {binary} x;
+    signal output y;
+    y <== x;
+}
+component main = T();
+"""
+    assert "T2051" in codes_of(src)
+
+
+def test_batch_reporting():
+    """The whole battery reports at once (reference prints all type
+    errors before exiting), not one-at-a-time at execution."""
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input x;
+    signal output y;
+    var v[2];
+    if (0 == 1) {
+        var a = v + 1;
+        var b = v[0][1];
+    }
+    y <== x;
+}
+component main = T();
+"""
+    cs = codes_of(src)
+    assert "T2044" in cs and "T2032" in cs
+
+
+def test_uninstantiated_template_still_checked():
+    """Unlike the unknown/known pass (which mirrors dead-template
+    pruning), reachability is from main's CALL GRAPH: a template
+    reachable but conditionally uninstantiated is still checked."""
+    src = """
+pragma circom 2.0.0;
+template Inner() {
+    signal input a;
+    signal output o;
+    var v[2];
+    if (0 == 1) { o <== v[1][2]; }
+    o <== a;
+}
+template T(n) {
+    signal input x;
+    signal output y;
+    if (n == 0) {
+        y <== x;
+    } else {
+        component c = Inner();
+        c.a <== x;
+        y <== c.o;
+    }
+}
+component main = T(0);
+"""
+    assert "T2032" in codes_of(src)
+
+
+def test_component_io_dims_checked():
+    src = """
+pragma circom 2.0.0;
+template Inner() {
+    signal input a[3];
+    signal output o;
+    o <== a[0];
+}
+template T() {
+    signal input x;
+    signal output y;
+    component c = Inner();
+    if (0 == 1) { c.a[0][1] <== x; }
+    c.a[0] <== x; c.a[1] <== x; c.a[2] <== x;
+    y <== c.o;
+}
+component main = T();
+"""
+    assert "T2032" in codes_of(src)
+
+
+def test_valid_circuits_pass():
+    src = (open("circom_tpu/circuits/sha256.circom").read()
+           + "\ncomponent main = Sha256Block();\n")
+    cc = compile_source(src)  # no ReportCollection raised
+    assert cc is not None
