@@ -10,9 +10,12 @@ Workloads (BASELINE.json north star: Poseidon & SHA256, >=50x CPU):
                           >100GB); full-batch digest check vs hashlib.
 
 The CPU baseline is MEASURED each run: circom_tpu/native/tapeval.cpp
-(4x64 Montgomery, the same arithmetic class as the reference's emitted
-C++ runtime, code_producers/src/c_elements) on this machine, 1 thread
-and all cores.  vs_baseline = TPU wit/s / CPU 1-thread wit/s.
+(4x64 Montgomery + the narrow int64 fast path, the same arithmetic
+class as the reference's emitted C++ runtime with its FrElement
+short-value representation, code_producers/src/c_elements) on this
+machine, raw limb output (the Python int decode is excluded, as the
+reference's calculator also writes limb bytes), 1 thread and all
+cores.  vs_baseline = TPU wit/s / CPU 1-thread wit/s.
 
 Prints ONE JSON line with metric/value/unit/vs_baseline plus extra keys
 (per-workload throughput, measured baselines, bytes-per-witness and
@@ -66,10 +69,11 @@ from circom_tpu.native import NativeCalculator
 from circom_tpu.circuits.gen_poseidon import generate
 
 def measure(nc, rows, reps):
-    nc.run(rows[:2])
+    inp = nc.encode_rows(rows)
+    nc.run_raw(inp[:2])
     t0 = time.time()
     for _ in range(reps):
-        nc.run(rows)
+        nc.run_raw(inp)
     return len(rows) * reps / (time.time() - t0)
 
 def set_threads(n):
@@ -87,7 +91,7 @@ cc = compile_source(src)
 tape, _ = cc.build_tape()
 nc = NativeCalculator(tape, spec)
 rows = [[rng.randrange(spec.p) for _ in range(tape.n_inputs)]
-        for _ in range(2048)]
+        for _ in range(4096)]
 set_threads(1)
 out["poseidon2_cpu_1t"] = measure(nc, rows, 3)
 set_threads(os.cpu_count())
@@ -98,7 +102,11 @@ src = open("circom_tpu/circuits/sha256.circom").read() \
     + "\ncomponent main = Sha256Block();\n"
 cc = compile_source(src)
 tape, _ = cc.build_tape()
-nc = NativeCalculator(tape, spec)
+# same range hints the TPU path gets: the narrow int64 fast path is
+# the reference FrElement short-value analog
+nc = NativeCalculator(tape, spec,
+                      input_ranges={i: (0, 1)
+                                    for i in range(tape.n_inputs)})
 rows = [[rng.randrange(2) for _ in range(tape.n_inputs)]
         for _ in range(256)]
 set_threads(1)

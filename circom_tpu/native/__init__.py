@@ -22,7 +22,7 @@ _OPS = [
     "lt", "le", "gt", "ge", "eq", "neq",
     "land", "lor", "lnot", "band", "bor", "bxor", "bnot",
     "shl_k", "shr_k", "pow_k", "select", "to_mont", "from_mont",
-    "idiv", "mod",
+    "idiv", "mod", "mulp",
 ]
 _OP_ID = {o: i for i, o in enumerate(_OPS)}
 
@@ -54,6 +54,7 @@ def _build_lib():
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.tv_destroy.argtypes = [ctypes.c_void_p]
     lib.tv_run_batch.restype = ctypes.c_int
@@ -85,13 +86,19 @@ class NativeCalculator:
 
     MONT = 0
 
-    def __init__(self, tape, spec: FieldSpec):
+    def __init__(self, tape, spec: FieldSpec, input_ranges=None):
         if spec.bits > 256:
             raise ValueError("native runtime supports primes up to 256 bits")
         self.spec = spec
         self.p = spec.p
         lib = _build_lib()
-        dt = DomainTape(tape)
+        # narrow int64 fast path (the reference FrElement's short-value
+        # representation, fr.hpp:12-26, classified at compile time by
+        # the same range analysis the TPU narrow lane uses)
+        from ..backend.ranges import narrow_nodes
+
+        nset, _ = narrow_nodes(tape, input_ranges or {})
+        dt = DomainTape(tape, narrow=nset)
         bad = {"shl", "shr", "pow"} & set(dt.ops)
         if bad:
             raise NotImplementedError(
@@ -103,18 +110,26 @@ class NativeCalculator:
         b = np.zeros(n, np.int32)
         c = np.zeros(n, np.int32)
         imm = np.zeros(n, np.int64)
+        nres = np.zeros(n, np.uint8)
+        na = np.zeros(n, np.uint8)
+        nb = np.zeros(n, np.uint8)
+        nc = np.zeros(n, np.uint8)
         consts = []
         self.n_inputs = dt.n_inputs
         for i in range(n):
             opname = dt.ops[i]
             op[i] = _OP_ID[opname]
+            nres[i] = bool(dt.narrow[i])
             args = dt.args[i]
             if len(args) > 0:
                 a[i] = args[0]
+                na[i] = bool(dt.narrow[args[0]])
             if len(args) > 1:
                 b[i] = args[1]
+                nb[i] = bool(dt.narrow[args[1]])
             if len(args) > 2:
                 c[i] = args[2]
+                nc[i] = bool(dt.narrow[args[2]])
             if opname == "const":
                 v = dt.imms[i]
                 if dt.domains[i] == self.MONT:
@@ -135,7 +150,8 @@ class NativeCalculator:
         half = _to_u64(spec.half)
         mask = _to_u64(spec.mask)
         n0inv = (-pow(self.p, -1, 1 << 64)) % (1 << 64)
-        self._keepalive = (op, a, b, c, imm, carr, outputs)
+        self._keepalive = (op, a, b, c, imm, carr, outputs,
+                           nres, na, nb, nc)
         self._lib = lib
         self._h = lib.tv_create(
             p_l.ctypes.data, r2.ctypes.data, one_m.ctypes.data,
@@ -144,6 +160,8 @@ class NativeCalculator:
             n, op.ctypes.data, a.ctypes.data, b.ctypes.data, c.ctypes.data,
             imm.ctypes.data, len(consts) or 1, carr.ctypes.data,
             dt.n_inputs, len(outputs), outputs.ctypes.data,
+            nres.ctypes.data, na.ctypes.data, nb.ctypes.data,
+            nc.ctypes.data,
         )
 
     def __del__(self):
@@ -151,21 +169,35 @@ class NativeCalculator:
             self._lib.tv_destroy(self._h)
             self._h = None
 
-    def run(self, input_rows):
-        """input_rows: list (batch) of lists (n_inputs) of ints ->
-        list (batch) of witness lists."""
+    def run_raw(self, inp):
+        """inp: uint64 (batch, n_inputs, 4) canonical limbs ->
+        uint64 (batch, n_outputs, 4).  The native-speed entry point —
+        the reference's calculator writes witness limb bytes the same
+        way (main.cpp writeBinWitness); Python int conversion is a
+        separate (slow) convenience."""
+        batch = inp.shape[0]
+        inp = np.ascontiguousarray(inp, np.uint64)
+        out = np.zeros((batch, self.n_outputs, 4), np.uint64)
+        rc = self._lib.tv_run_batch(
+            self._h, batch, inp.ctypes.data, out.ctypes.data)
+        if rc != 0:
+            raise RuntimeError(f"native witness evaluation failed (rc={rc})")
+        return out
+
+    def encode_rows(self, input_rows):
         batch = len(input_rows)
         inp = np.zeros((batch, self.n_inputs, 4), np.uint64)
         for w, row in enumerate(input_rows):
             assert len(row) == self.n_inputs
             for i, v in enumerate(row):
                 inp[w, i] = _to_u64(v % self.p)
-        out = np.zeros((batch, self.n_outputs, 4), np.uint64)
-        rc = self._lib.tv_run_batch(
-            self._h, batch, inp.ctypes.data, out.ctypes.data)
-        if rc != 0:
-            raise RuntimeError(f"native witness evaluation failed (rc={rc})")
+        return inp
+
+    def run(self, input_rows):
+        """input_rows: list (batch) of lists (n_inputs) of ints ->
+        list (batch) of witness lists."""
+        out = self.run_raw(self.encode_rows(input_rows))
         return [
             [_from_u64(out[w, k]) for k in range(self.n_outputs)]
-            for w in range(batch)
+            for w in range(out.shape[0])
         ]

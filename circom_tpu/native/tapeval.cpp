@@ -230,8 +230,35 @@ enum Op {
     OP_LT, OP_LE, OP_GT, OP_GE, OP_EQ, OP_NEQ,
     OP_LAND, OP_LOR, OP_LNOT, OP_BAND, OP_BOR, OP_BXOR, OP_BNOT,
     OP_SHL_K, OP_SHR_K, OP_POW_K, OP_SELECT, OP_TO_MONT, OP_FROM_MONT,
-    OP_IDIV, OP_MOD,
+    OP_IDIV, OP_MOD, OP_MULP,
 };
+
+// narrow int64 fast path: the analog of the reference FrElement's
+// short-value representation (c_elements/bn128/fr.hpp:12-26 SHORT
+// type) with COMPILE-TIME classification: nodes proven
+// int32-representable by the range analysis (backend/ranges.py, same
+// proof the TPU narrow lane uses) hold a signed int64 in v[0] and run
+// plain integer ops — a bit gadget costs 1 multiply instead of a 4x64
+// Montgomery multiply.
+inline int64_t fe_to_i64(const Fe &x, const Field &f) {
+    // canonical -> signed value (value - p when above p/2); callers
+    // are range-proven to fit
+    if (lt_raw(f.half, x)) {
+        Fe t;
+        sub_raw(t, f.p, x);
+        return -(int64_t)t.v[0];
+    }
+    return (int64_t)x.v[0];
+}
+
+inline void i64_to_fe(Fe &r, int64_t v, const Field &f) {
+    if (v >= 0) {
+        r.v[0] = (u64)v; r.v[1] = r.v[2] = r.v[3] = 0;
+    } else {
+        Fe t = {{(u64)(-v), 0, 0, 0}};
+        sub_raw(r, f.p, t);
+    }
+}
 
 struct Program {
     Field f;
@@ -241,6 +268,8 @@ struct Program {
     std::vector<int64_t> imm;      // const-table index or shift/exponent
     std::vector<Fe> consts;        // pre-domain-adjusted constants
     std::vector<int32_t> outputs;  // node ids
+    std::vector<uint8_t> nres;     // result on the narrow int64 path
+    std::vector<uint8_t> na, nb, nc;  // operand narrowness
 };
 
 }  // namespace
@@ -252,7 +281,9 @@ void *tv_create(const u64 *p_limbs, const u64 *r2, const u64 *one_mont,
                 int n_ops, const int32_t *op, const int32_t *a,
                 const int32_t *b, const int32_t *c, const int64_t *imm,
                 int n_consts, const u64 *consts, int n_inputs,
-                int n_outputs, const int32_t *outputs) {
+                int n_outputs, const int32_t *outputs,
+                const uint8_t *nres, const uint8_t *na,
+                const uint8_t *nb, const uint8_t *nc) {
     Program *prog = new Program();
     std::memcpy(prog->f.p.v, p_limbs, 32);
     std::memcpy(prog->f.r2.v, r2, 32);
@@ -272,6 +303,17 @@ void *tv_create(const u64 *p_limbs, const u64 *r2, const u64 *one_mont,
     prog->consts.resize(n_consts);
     std::memcpy(prog->consts.data(), consts, (size_t)n_consts * 32);
     prog->outputs.assign(outputs, outputs + n_outputs);
+    if (nres) {
+        prog->nres.assign(nres, nres + n_ops);
+        prog->na.assign(na, na + n_ops);
+        prog->nb.assign(nb, nb + n_ops);
+        prog->nc.assign(nc, nc + n_ops);
+    } else {
+        prog->nres.assign(n_ops, 0);
+        prog->na.assign(n_ops, 0);
+        prog->nb.assign(n_ops, 0);
+        prog->nc.assign(n_ops, 0);
+    }
     return prog;
 }
 
@@ -283,15 +325,123 @@ int tv_run_batch(void *h, int batch, const u64 *inputs, u64 *outputs) {
     const Field &f = prog->f;
     int n = prog->n_ops;
     int err = 0;
-#pragma omp parallel for schedule(static)
+#pragma omp parallel
+    {
+    std::vector<Fe> regs((size_t)n);  // hoisted: one buffer per thread
+#pragma omp for schedule(static)
     for (int w = 0; w < batch; ++w) {
-        std::vector<Fe> regs((size_t)n);
         const u64 *in = inputs + (size_t)w * prog->n_inputs * NL;
         for (int i = 0; i < n; ++i) {
             Fe &r = regs[i];
-            const Fe &A = regs[prog->a[i]];
-            const Fe &B = regs[prog->b[i]];
-            const Fe &C = regs[prog->c[i]];
+            if (prog->nres[i]) {
+                // narrow int64 path (signed convention = the circom
+                // comparison convention, so compares are plain)
+                const Fe &Ar = regs[prog->a[i]];
+                const Fe &Br = regs[prog->b[i]];
+                const Fe &Cr = regs[prog->c[i]];
+                bool an = prog->na[i], bn = prog->nb[i];
+                int64_t av = an ? (int64_t)Ar.v[0] : 0;
+                int64_t bv = bn ? (int64_t)Br.v[0] : 0;
+                int64_t res = 0;
+                switch (prog->op[i]) {
+                    case OP_ADD:
+                        res = (an ? av : fe_to_i64(Ar, f))
+                            + (bn ? bv : fe_to_i64(Br, f));
+                        break;
+                    case OP_SUB:
+                        res = (an ? av : fe_to_i64(Ar, f))
+                            - (bn ? bv : fe_to_i64(Br, f));
+                        break;
+                    case OP_MULP:
+                        res = (an ? av : fe_to_i64(Ar, f))
+                            * (bn ? bv : fe_to_i64(Br, f));
+                        break;
+                    case OP_NEG:
+                        res = -(an ? av : fe_to_i64(Ar, f));
+                        break;
+                    case OP_BAND:
+                        res = (int64_t)(Ar.v[0] & Br.v[0]);
+                        break;
+                    case OP_BOR:
+                        res = (int64_t)(Ar.v[0] | Br.v[0]);
+                        break;
+                    case OP_BXOR:
+                        res = (int64_t)(Ar.v[0] ^ Br.v[0]);
+                        break;
+                    case OP_SHL_K:
+                        res = (an ? av : fe_to_i64(Ar, f))
+                            << (unsigned)prog->imm[i];
+                        break;
+                    case OP_SHR_K:
+                        res = (an ? av : fe_to_i64(Ar, f))
+                            >> (unsigned)prog->imm[i];
+                        break;
+                    case OP_SELECT: {
+                        bool cond = an ? (av != 0) : !is_zero(Ar);
+                        res = cond
+                            ? (bn ? bv : fe_to_i64(Br, f))
+                            : (prog->nc[i] ? (int64_t)Cr.v[0]
+                                           : fe_to_i64(Cr, f));
+                        break;
+                    }
+                    case OP_LNOT:
+                        res = an ? (av == 0) : is_zero(Ar);
+                        break;
+                    case OP_LAND:
+                        res = (an ? av != 0 : !is_zero(Ar))
+                            && (bn ? bv != 0 : !is_zero(Br));
+                        break;
+                    case OP_LOR:
+                        res = (an ? av != 0 : !is_zero(Ar))
+                            || (bn ? bv != 0 : !is_zero(Br));
+                        break;
+                    case OP_EQ: case OP_NEQ: case OP_LT:
+                    case OP_LE: case OP_GT: case OP_GE: {
+                        bool t;
+                        if (an && bn) {
+                            switch (prog->op[i]) {
+                                case OP_EQ: t = av == bv; break;
+                                case OP_NEQ: t = av != bv; break;
+                                case OP_LT: t = av < bv; break;
+                                case OP_LE: t = av <= bv; break;
+                                case OP_GT: t = av > bv; break;
+                                default: t = av >= bv; break;
+                            }
+                        } else {
+                            Fe Aw, Bw;
+                            if (an) i64_to_fe(Aw, av, f); else Aw = Ar;
+                            if (bn) i64_to_fe(Bw, bv, f); else Bw = Br;
+                            switch (prog->op[i]) {
+                                case OP_EQ:
+                                    t = !std::memcmp(Aw.v, Bw.v, 32);
+                                    break;
+                                case OP_NEQ:
+                                    t = std::memcmp(Aw.v, Bw.v, 32) != 0;
+                                    break;
+                                case OP_LT: t = lt_signed(Aw, Bw, f); break;
+                                case OP_LE: t = !lt_signed(Bw, Aw, f); break;
+                                case OP_GT: t = lt_signed(Bw, Aw, f); break;
+                                default: t = !lt_signed(Aw, Bw, f); break;
+                            }
+                        }
+                        res = t;
+                        break;
+                    }
+                    default: err = 2; break;
+                }
+                r.v[0] = (u64)res;
+                continue;
+            }
+            Fe ta, tb, tc;
+            const Fe *Ap = &regs[prog->a[i]];
+            const Fe *Bp = &regs[prog->b[i]];
+            const Fe *Cp = &regs[prog->c[i]];
+            if (prog->na[i]) { i64_to_fe(ta, (int64_t)Ap->v[0], f); Ap = &ta; }
+            if (prog->nb[i]) { i64_to_fe(tb, (int64_t)Bp->v[0], f); Bp = &tb; }
+            if (prog->nc[i]) { i64_to_fe(tc, (int64_t)Cp->v[0], f); Cp = &tc; }
+            const Fe &A = *Ap;
+            const Fe &B = *Bp;
+            const Fe &C = *Cp;
             switch (prog->op[i]) {
                 case OP_CONST: r = prog->consts[prog->imm[i]]; break;
                 case OP_INPUT:
@@ -368,12 +518,30 @@ int tv_run_batch(void *h, int batch, const u64 *inputs, u64 *outputs) {
                     r = m;
                     break;
                 }
+                case OP_MULP: {
+                    // plain product of canonical values (narrow mul
+                    // whose operands were widened): x*y mod p via
+                    // Montgomery with an R^2 fixup
+                    Fe t0;
+                    mont_mul(t0, A, B, f);
+                    mont_mul(r, t0, f.r2, f);
+                    break;
+                }
                 default: err = 2; break;
             }
         }
         u64 *out = outputs + (size_t)w * prog->n_outputs * NL;
-        for (int k = 0; k < prog->n_outputs; ++k)
-            std::memcpy(out + (size_t)k * NL, regs[prog->outputs[k]].v, 32);
+        for (int k = 0; k < prog->n_outputs; ++k) {
+            int32_t src_reg = prog->outputs[k];
+            if (prog->nres[src_reg]) {
+                Fe t;
+                i64_to_fe(t, (int64_t)regs[src_reg].v[0], f);
+                std::memcpy(out + (size_t)k * NL, t.v, 32);
+            } else {
+                std::memcpy(out + (size_t)k * NL, regs[src_reg].v, 32);
+            }
+        }
+    }
     }
     return err;
 }
