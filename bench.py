@@ -98,6 +98,17 @@ set_threads(os.cpu_count())
 out["poseidon2_cpu_mt"] = measure(nc, rows, 3)
 out["cpu_cores"] = os.cpu_count()
 
+src = generate((2,), prime="goldilocks") \
+    + "\ncomponent main = Poseidon2();\n"
+gspec = field_spec("goldilocks")
+cc = compile_source(src, prime="goldilocks")
+tape, _ = cc.build_tape()
+nc = NativeCalculator(tape, gspec)
+rows = [[rng.randrange(gspec.p) for _ in range(tape.n_inputs)]
+        for _ in range(4096)]
+set_threads(1)
+out["poseidon2_gl_cpu_1t"] = measure(nc, rows, 3)
+
 src = open("circom_tpu/circuits/sha256.circom").read() \
     + "\ncomponent main = Sha256Block();\n"
 cc = compile_source(src)
@@ -327,6 +338,59 @@ def bench_sha256(jax, extras, hbm_peak):
     return best
 
 
+def bench_poseidon_goldilocks(jax, extras, hbm_peak):
+    """Goldilocks fast path: plain-domain fold-reduction muls
+    (ops/limb_emit.gl_mul) — the TPU analog of the reference's
+    dedicated 64-bit runtime (c_elements/common64/, RELEASES.md:34)."""
+    import jax.numpy as jnp
+
+    from circom_tpu.circuits.gen_poseidon import generate
+    from circom_tpu.compiler.pipeline import compile_source
+    from circom_tpu.backend.jax_backend import WitnessProgram
+    from circom_tpu.field.primes import field_spec
+    from circom_tpu.ops.limbs import ints_to_limbs
+
+    spec = field_spec("goldilocks")
+    src = (generate((2,), prime="goldilocks")
+           + "\ncomponent main = Poseidon2();\n")
+    cc = compile_source(src, prime="goldilocks")
+    tape, _layout = cc.build_tape()
+    prog = WitnessProgram(tape, spec, unroll_threshold=0)
+
+    import random
+
+    rng = random.Random(77)
+    batch = 65536
+    cols = [[rng.randrange(spec.p) for _ in range(batch)]
+            for _ in range(prog.n_inputs)]
+    arr = jax.device_put(prog.encode_inputs(cols))
+    expect = cc.witness_host({"inputs": [cols[0][0], cols[1][0]]})
+    exp_dev = jax.device_put(np.asarray(ints_to_limbs(expect, prog.jf.L)))
+    out_aval = jax.ShapeDtypeStruct(
+        (prog.n_witness, prog.jf.L, batch), jnp.uint32)
+    run_fn = jax.jit(prog.jittable()).lower(
+        jax.ShapeDtypeStruct(arr.shape, arr.dtype)).compile()
+    check_fn = jax.jit(lambda o, e: (o[:, :, 0] == e).all()).lower(
+        out_aval, jax.ShapeDtypeStruct(exp_dev.shape,
+                                       exp_dev.dtype)).compile()
+    sync_fn = jax.jit(
+        lambda o: o[:, 0, :].astype(jnp.uint32).sum()).lower(
+            out_aval).compile()
+    out = run_fn(arr)
+    np.asarray(sync_fn(out))
+    assert bool(check_fn(out, exp_dev)), "goldilocks witness mismatch"
+    t0 = time.time()
+    for _ in range(10):
+        out = run_fn(arr)
+    np.asarray(sync_fn(out))
+    dt = (time.time() - t0) / 10
+    wps = batch / dt
+    print(f"# poseidon2/goldilocks batch {batch}: {dt*1e3:.1f} ms -> "
+          f"{wps:,.0f} wit/s", file=sys.stderr)
+    extras["poseidon2_gl_tpu_wit_s"] = round(wps, 1)
+    return wps
+
+
 def main():
     if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) \
             and not _tpu_alive():
@@ -361,6 +425,14 @@ def main():
             sha = bench_sha256(jax, extras, hbm_peak)
         except Exception as e:  # report poseidon even if sha trips
             print(f"# sha256 bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        try:
+            gl = bench_poseidon_goldilocks(jax, extras, hbm_peak)
+            if cpu.get("poseidon2_gl_cpu_1t"):
+                extras["poseidon2_gl_vs_baseline"] = round(
+                    gl / cpu["poseidon2_gl_cpu_1t"], 3)
+        except Exception as e:
+            print(f"# goldilocks bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
     base_1t = cpu.get("poseidon2_cpu_1t")

@@ -705,12 +705,22 @@ class InterpreterProgram:
 
             # ---- wide ops ---------------------------------------------
             if op == "mulp":
-                # plain product on the wide lane; by a constant it is a
-                # single montmul with the constant pre-scaled by R:
-                # montmul(a, cR) = a*c.  Variable*variable costs two.
                 if kinds[0] == "const":
                     a = [a[1], a[0]]
                     kinds = [kinds[1], kinds[0]]
+                if xt.plain:
+                    # goldilocks: fold-reduced plain product (gl_mul)
+                    if kinds[1] == "const":
+                        steps.append(("gmul_c", wform(a[0]),
+                                      ("bank", bank(xt.cval[a[1]])),
+                                      None, i, None))
+                    else:
+                        steps.append(("gmul", wform(a[0]), wform(a[1]),
+                                      None, i, None))
+                    continue
+                # plain product on the wide lane; by a constant it is a
+                # single montmul with the constant pre-scaled by R:
+                # montmul(a, cR) = a*c.  Variable*variable costs two.
                 if kinds[1] == "const":
                     cr = (xt.cval[a[1]] * xt.R) % xt.p
                     steps.append(("mul_c", wform(a[0]),
@@ -1271,6 +1281,10 @@ class InterpreterProgram:
                         rows = em.emit_mul(rd_static(r2_l), zero)
                     elif op == "mul_c":
                         rows = em.emit_mul(rd_bank, zero)
+                    elif op == "gmul":
+                        rows = em.gl_mul(rd_vv, zero)
+                    elif op == "gmul_c":
+                        rows = em.gl_mul(rd_bank, zero)
                     elif op == "add_c":
                         rows = em.emit("add", rd_bank, None, zero)
                     elif op == "sub_c":

@@ -55,7 +55,7 @@ class DomainTape:
     muls are flagged plain (executed on the narrow int32 lane by the
     interpreter backend)."""
 
-    def __init__(self, tape: Tape, narrow=None):
+    def __init__(self, tape: Tape, narrow=None, plain_field=False):
         self.src = tape
         self.ops = []
         self.args = []
@@ -64,6 +64,7 @@ class DomainTape:
         self.narrow = []
         self.n_inputs = tape.n_inputs
         self.outputs = []
+        self.plain_field = plain_field
         self._build(tape, narrow or frozenset())
 
     def _build(self, tape: Tape, narrow_src):
@@ -72,6 +73,21 @@ class DomainTape:
         plain = set()
         for i in range(n):
             op = tape.ops[i]
+            if self.plain_field:
+                # goldilocks-class fields run every value in canonical
+                # form: products fold instead of Montgomery-reducing
+                # (ops/limb_emit.gl_mul), so conversions never pay off.
+                # div/pow keep Montgomery islands (inversion chains are
+                # rare; every backend handles them uniformly).
+                if op == "const":
+                    dom[i] = None
+                elif op in ("div", "pow_k", "pow"):
+                    dom[i] = MONT
+                else:
+                    dom[i] = NORM
+                    if op == "mul":
+                        plain.add(i)
+                continue
             if op == "const":
                 dom[i] = None  # materialized per use
             elif op == "input":
@@ -174,7 +190,10 @@ class WitnessProgram:
 
         self.input_ranges = input_ranges or {}
         nset, _rng = narrow_nodes(tape, self.input_ranges)
-        self.dt = DomainTape(tape, narrow=nset)
+        from ..ops.limb_emit import GOLDILOCKS_P
+
+        self.dt = DomainTape(tape, narrow=nset,
+                             plain_field=spec.p == GOLDILOCKS_P)
         self.n_inputs = tape.n_inputs
         self.slots = max(1, slots)
         # fused-Pallas paths (production TPU backends): the in-kernel

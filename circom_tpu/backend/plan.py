@@ -42,7 +42,7 @@ class ExpandedTape:
 
     __slots__ = ("ops", "args", "imms", "kind", "cval", "iidx",
                  "out_ids", "live", "n_inputs", "L", "p", "R", "Rinv",
-                 "narrow")
+                 "narrow", "plain")
 
     def __init__(self, dtape, spec: FieldSpec):
         from ..field.hostfield import HostField
@@ -52,6 +52,7 @@ class ExpandedTape:
         self.R = 1 << (LIMB_BITS * self.L)
         self.Rinv = pow(self.R, -1, self.p)
         self.n_inputs = dtape.n_inputs
+        self.plain = getattr(dtape, "plain_field", False)
         hf = HostField(spec)
 
         ops, args, imms = [], [], []

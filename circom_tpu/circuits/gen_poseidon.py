@@ -16,25 +16,26 @@ import sys
 
 from ..field.primes import field_spec
 
-P = field_spec("bn128").p
+P = field_spec("bn128").p  # default; generate(prime=) overrides
 N_ROUNDS_F = 8
 N_ROUNDS_P = {2: 56, 3: 57, 4: 56, 5: 60, 6: 60, 7: 63, 8: 64, 9: 63}
 
 
-def nuts(tag: str, i: int) -> int:
+def nuts(tag: str, i: int, p: int = None) -> int:
     h = hashlib.sha256(f"circom_tpu poseidon {tag} {i}".encode()).digest()
-    return int.from_bytes(h, "big") % P
+    return int.from_bytes(h, "big") % (p or P)
 
 
-def round_constants(t: int, n_rounds: int):
-    return [nuts(f"C t={t}", i) for i in range(n_rounds * t)]
+def round_constants(t: int, n_rounds: int, p: int = None):
+    return [nuts(f"C t={t}", i, p) for i in range(n_rounds * t)]
 
 
-def mds(t: int):
-    xs = [nuts(f"mds-x t={t}", i) for i in range(t)]
-    ys = [nuts(f"mds-y t={t}", i) for i in range(t)]
+def mds(t: int, p: int = None):
+    p = p or P
+    xs = [nuts(f"mds-x t={t}", i, p) for i in range(t)]
+    ys = [nuts(f"mds-y t={t}", i, p) for i in range(t)]
     return [
-        [pow((xs[i] + ys[j]) % P, -1, P) for j in range(t)] for i in range(t)
+        [pow((xs[i] + ys[j]) % p, -1, p) for j in range(t)] for i in range(t)
     ]
 
 
@@ -42,7 +43,8 @@ def fmt_array(vals):
     return "[" + ", ".join(str(v) for v in vals) + "]"
 
 
-def generate(n_inputs_list=(2, 4)) -> str:
+def generate(n_inputs_list=(2, 4), prime: str = "bn128") -> str:
+    p = field_spec(prime).p
     parts = ["pragma circom 2.0.0;\n"]
     parts.append(
         """
@@ -61,8 +63,8 @@ template Sigma() {
         t = n + 1
         nP = N_ROUNDS_P[n]
         total = N_ROUNDS_F + nP
-        C = round_constants(t, total)
-        M = mds(t)
+        C = round_constants(t, total, p)
+        M = mds(t, p)
         parts.append(f"""
 function POS_C{t}(i) {{
     var c[{len(C)}] = {fmt_array(C)};

@@ -20,6 +20,12 @@ from .limbs import spec_constants
 
 MASK = (1 << LIMB_BITS) - 1
 
+# goldilocks: p = 2^64 - 2^32 + 1, so 2^64 ≡ 2^32 - 1 and 2^96 ≡ -1 —
+# products reduce by FOLDING instead of Montgomery (the TPU analog of
+# the reference's dedicated 64-bit runtime, c_elements/common64/,
+# RELEASES.md:34 "dramatically improves witness generation efficiency")
+GOLDILOCKS_P = 18446744069414584321
+
 
 def _row(r, zero):
     """Materialize a row (numpy scalar or (8,bb) array) as an array."""
@@ -42,6 +48,7 @@ class LimbEmitter:
         self.r2_list = [int(x) for x in c["R2_limbs"]]
         self.mask_list = [int(x) for x in c["mask_limbs"]]
         self.half_list = [int(x) for x in c["half_limbs"]]
+        self.is_goldilocks = spec.p == GOLDILOCKS_P
 
     # -- helpers ---------------------------------------------------------
     def cond_sub(self, limbs, top, zero):
@@ -110,7 +117,11 @@ class LimbEmitter:
 
         if op == "mul":
             return self.emit_mul(rd, zero)
+        if op == "gmul":
+            return self.gl_mul(rd, zero)
         if op == "mulp":
+            if self.is_goldilocks:
+                return self.gl_mul(rd, zero)
             # plain product a*b mod p: montmul then scale by R^2
             rows = self.emit_mul(rd, zero)
 
@@ -222,6 +233,70 @@ class LimbEmitter:
             limbs.append(t & MASK)
             carry = t >> LIMB_BITS
         return self.cond_sub(limbs[:L], limbs[L], zero)
+
+    def gl_mul(self, rd, zero):
+        """Goldilocks plain product a*b mod p via FOLDING.
+
+        With 16-bit limb columns c_0..c_7 of the double-wide product,
+        2^64 ≡ 2^32 - 1 and 2^96 ≡ -1 give the exact fold
+            r = [c0-c4-c6, c1-c5-c7, c2+c4, c3+c5]   (|r_i| < 2^21)
+        then two signed carry chains + a select-add fixup for the
+        remaining top carry (∈ {-1,0,1}) + one conditional subtract.
+        ~2x fewer VPU ops than Montgomery CIOS, and the plain domain
+        removes every to_mont/from_mont conversion."""
+        L = self.L
+        assert L == 4 and self.is_goldilocks
+        izero = zero.astype(jnp.int32)
+
+        b_is_const = isinstance(rd(1, 0), np.uint32)
+        a_is_const = isinstance(rd(0, 0), np.uint32)
+        ka, kb = (1, 0) if (a_is_const and not b_is_const) else (0, 1)
+        b_const = isinstance(rd(kb, 0), np.uint32)
+
+        cols = [zero] * 8
+        for i in range(L):
+            ai = rd(ka, i)
+            for j in range(L):
+                bj = rd(kb, j)
+                if b_const and not int(bj):
+                    continue
+                prod = ai * bj  # exact: both < 2^16
+                cols[i + j] = cols[i + j] + (prod & MASK)
+                cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
+        c = [x.astype(jnp.int32) if hasattr(x, "astype") else x
+             for x in cols]
+        d = [c[0] - c[4] - c[6], c[1] - c[5] - c[7],
+             c[2] + c[4], c[3] + c[5]]
+
+        def schain(vals):
+            carry = izero
+            out = []
+            for i in range(L):
+                v = vals[i] + carry
+                out.append(v & np.int32(MASK))
+                carry = v >> LIMB_BITS  # arithmetic: signed carries
+            return out, carry
+
+        a1, t = schain(d)
+        # fold t*2^64 ≡ t*2^32 - t
+        b1, t2 = schain([a1[0] - t, a1[1], a1[2] + t, a1[3]])
+        # t2 ∈ {-1,0,1}: value ≡ b + t2*(2^32-1); adjustment by select
+        pos = [np.int32(0xFFFF), np.int32(0xFFFF), izero, izero]
+        # -(2^32-1) ≡ p - 2^32 + 1 = [2, 0, 0xFFFE, 0xFFFF]
+        neg = [np.int32(2), izero, np.int32(0xFFFE), np.int32(0xFFFF)]
+        is_p = t2 > 0
+        is_n = t2 < 0
+        adj = [jnp.where(is_p, jnp.broadcast_to(pos[i], zero.shape),
+                         jnp.where(is_n,
+                                   jnp.broadcast_to(neg[i], zero.shape),
+                                   izero))
+               for i in range(L)]
+        f1, t3 = schain([b1[i] + adj[i] for i in range(L)])
+        # t3 ∈ {0,1} and the +2^32-1 fixup provably cannot carry again
+        fix = jnp.where(t3 > 0, jnp.int32(0xFFFF), jnp.int32(0))
+        g1, _ = schain([f1[0] + fix, f1[1] + fix, f1[2], f1[3]])
+        limbs = [x.astype(jnp.uint32) for x in g1]
+        return self.cond_sub(limbs, zero, zero)
 
     def emit_mul(self, rd, zero):
         """Interleaved Montgomery CIOS on limb rows; constant operands

@@ -141,3 +141,35 @@ def test_host_semantics_reference_vectors():
     assert hf.lesser(257 - 1, 0) == 1
     assert hf.greater(hf.half, 0) == 1
     assert hf.lesser(hf.half + 1, 0) == 1
+
+
+def test_goldilocks_fold_mul():
+    """gl_mul (fold reduction via 2^64 ≡ 2^32-1, 2^96 ≡ -1) matches
+    host arithmetic on adversarial and random pairs — the TPU analog
+    of the reference's dedicated 64-bit runtime (common64/)."""
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from circom_tpu.ops.limb_emit import LimbEmitter
+    from circom_tpu.ops.limbs import int_to_limbs, limbs_to_int
+
+    spec = field_spec("goldilocks")
+    em = LimbEmitter(spec)
+    assert em.is_goldilocks
+    p = spec.p
+    rng = random.Random(5)
+    cases = [(p - 1, p - 1), (p - 1, 1), (0, 123), (1, 1),
+             (2**32 - 1, 2**32 - 1), (2**32, 2**32),
+             (p - 2**32, p - 1), (2**63, 2**63)]
+    cases += [(rng.randrange(p), rng.randrange(p)) for _ in range(200)]
+    zero = jnp.zeros((8, 8), jnp.uint32)
+    for (x, y) in cases:
+        xa = [jnp.full((8, 8), np.uint32(v), jnp.uint32)
+              for v in int_to_limbs(x, 4)]
+        yl = [np.uint32(v) for v in int_to_limbs(y, 4)]
+
+        rows = em.gl_mul(lambda k, i: xa[i] if k == 0 else yl[i], zero)
+        got = limbs_to_int([int(np.asarray(r)[0, 0]) for r in rows])
+        assert got == (x * y) % p, (x, y)
