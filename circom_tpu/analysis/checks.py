@@ -157,7 +157,7 @@ class Analyzer:
                     if len(e.args) != len(fdef.args):
                         self.error(
                             f"function {e.id} expects {len(fdef.args)} "
-                            f"arguments, got {len(e.args)}", "T2011",
+                            f"arguments, got {len(e.args)}", "T2012",
                             e.meta,
                         )
                 elif e.id in self.archive.templates:
@@ -165,22 +165,23 @@ class Analyzer:
                     if len(e.args) != len(tdef.args):
                         self.error(
                             f"template {e.id} expects {len(tdef.args)} "
-                            f"parameters, got {len(e.args)}", "T2011",
+                            f"parameters, got {len(e.args)}", "T2023",
                             e.meta,
                         )
                     if context == "function":
                         self.error(
-                            "template call inside a function", "T2014",
+                            "template call inside a function", "T2022",
                             e.meta,
                         )
                 else:
+                    # UndefinedFunction T2001 / UndefinedTemplate T2002
                     self.error(
-                        f"unknown function or template '{e.id}'", "T2007",
+                        f"unknown function or template '{e.id}'", "T2002",
                         e.meta,
                     )
             elif isinstance(e, A.BusCall):
                 if e.id not in self.archive.buses:
-                    self.error(f"unknown bus '{e.id}'", "T2007", e.meta)
+                    self.error(f"unknown bus '{e.id}'", "T2052", e.meta)
 
         self._walk_exprs_in(body, fn)
 
@@ -248,19 +249,21 @@ class Analyzer:
 
     def check_function(self, f: A.Function):
         def fn(st):
+            # ForbiddenDeclarationInFunction T2016 /
+            # ConstraintGeneratorInFunction T2039 (error_code.rs)
             if isinstance(st, A.Declaration) and st.xtype.kind != "var":
                 self.error(
                     "functions cannot declare signals, components or "
-                    "buses", "T2014", st.meta,
+                    "buses", "T2016", st.meta,
                 )
             if isinstance(st, A.Substitution) and st.op != A.AssignOp.VAR:
                 self.error(
                     "functions cannot use signal assignment operators",
-                    "T2014", st.meta,
+                    "T2039", st.meta,
                 )
             if isinstance(st, A.ConstraintEquality):
                 self.error("functions cannot declare constraints",
-                           "T2014", st.meta)
+                           "T2039", st.meta)
 
         self._walk_stmts(f.body, fn)
         self.check_calls(f.body, "function")
@@ -313,7 +316,7 @@ class Analyzer:
             if call.id not in self.archive.templates:
                 self.error(
                     f"main component template '{call.id}' does not exist",
-                    "T2007", call.meta,
+                    "T2002", call.meta,
                 )
                 return
             t = self.archive.templates[call.id]

@@ -48,6 +48,18 @@ def build_arg_parser():
                     help="(compat) accepted; the TPU program replaces wasm")
     ap.add_argument("-c", "--c", dest="cgen", action="store_true",
                     help="(compat) accepted; the TPU program replaces C++")
+    ap.add_argument("--wat", action="store_true",
+                    help="(compat) accepted; the serialized TPU program "
+                         "(--tpu) is the readable program form")
+    ap.add_argument("--no_asm", action="store_true",
+                    help="(compat) accepted no-op; there is no asm "
+                         "backend to disable")
+    ap.add_argument("--inputs", action="store_true",
+                    help="(compat, hidden in the reference) write "
+                         "log_inputs.txt with the main input layout")
+    ap.add_argument("--irout", action="store_true",
+                    help="(compat, hidden in the reference) dump the "
+                         "witness tape IR as <name>.ir.txt")
     ap.add_argument("--tpu", action="store_true",
                     help="serialize the TPU witness program artifact")
     group = ap.add_mutually_exclusive_group()
@@ -150,11 +162,30 @@ def main(argv=None):
         with open(path, "w") as f:
             f.write(substitutions_json(subs))
         print(f"written successfully: {path}")
-    if args.tpu or args.wasm or args.cgen:
+    if args.tpu or args.wasm or args.cgen or args.wat:
         from .backend.artifacts import save_program
 
         path = os.path.join(outdir, f"{name}.tpu.json")
         save_program(cc, path)
+        print(f"written successfully: {path}")
+    if args.inputs:
+        # reference hidden flag: log_inputs.txt (input_user.rs:397-585)
+        tape, layout = cc.build_tape()
+        path = os.path.join(outdir, "log_inputs.txt")
+        with open(path, "w") as f:
+            for (nm, dims, off) in layout:
+                f.write(f"{nm} dims={list(dims)} offset={off}\n")
+        print(f"written successfully: {path}")
+    if args.irout:
+        # reference hidden flag: IR dump — here the SSA witness tape
+        tape, _ = cc.build_tape()
+        path = os.path.join(outdir, f"{name}.ir.txt")
+        with open(path, "w") as f:
+            for i3 in range(len(tape.ops)):
+                f.write(f"%{i3} = {tape.ops[i3]} "
+                        f"{list(tape.args[i3])}"
+                        f"{' imm=' + str(tape.imms[i3]) if tape.imms[i3] is not None else ''}\n")
+            f.write(f"outputs: {tape.outputs}\n")
         print(f"written successfully: {path}")
     if args.cgen:
         # extern_c custom gates: the user links an external

@@ -647,7 +647,7 @@ class Executor:
             return
         if frame.kind != "template":
             raise err("signals/components only allowed in templates",
-                      "T2039", s.meta)
+                      "T2016", s.meta)
         if frame.unknown_depth:
             raise err("declaration inside unknown condition", "T2040", s.meta)
         if kind == "signal":
@@ -1074,14 +1074,14 @@ class Executor:
 
     def _emit_constraint(self, expr, frame, meta):
         if isinstance(expr, NonQuadratic):
-            raise err("non-quadratic constraint", "T2013", meta)
+            raise err("non-quadratic constraint", "T20462", meta)
         c = alg.Constraint.from_aexpr(expr, self.hf)
         if c is None:
-            raise err("non-quadratic constraint", "T2013", meta)
+            raise err("non-quadratic constraint", "T20462", meta)
         if c.is_linear() and len(c.c) == 1 and alg.CONST in c.c:
             if c.c[alg.CONST] != 0:
                 raise err("impossible constraint: nonzero constant = 0",
-                          "T2014", meta)
+                          "T3001", meta)
             return
         frame.builder.constraints.append(c)
 

@@ -74,7 +74,7 @@ def run_parser(path: str, field_p: int, prime: str, link_libraries=(),
             with open(f) as fh:
                 src = fh.read()
         except OSError:
-            errors.add(Report.error(f"file not found: {f}", "P1001"))
+            errors.add(Report.error(f"file not found: {f}", "P1006"))
             continue
         fid = file_library.add(f, src)
         try:
@@ -109,7 +109,7 @@ def run_parser(path: str, field_p: int, prime: str, link_libraries=(),
                     Report.error(
                         "multiple main components "
                         f"(in {main_file} and {f})",
-                        "P1005",
+                        "P1002",
                     )
                 )
             main_file = f
@@ -117,13 +117,13 @@ def run_parser(path: str, field_p: int, prime: str, link_libraries=(),
             r = resolve(inc, os.path.dirname(f))
             if r is None:
                 errors.add(
-                    Report.error(f"include not found: {inc}", "P1001")
+                    Report.error(f"include not found: {inc}", "P1014")
                 )
             elif r not in parsed:
                 stack.append(r)
 
     if main_file is None and not errors.reports:
-        errors.add(Report.error("no main component found", "P1009"))
+        errors.add(Report.error("no main component found", "P1001"))
     if errors.reports:
         raise errors
 
@@ -138,9 +138,19 @@ def run_parser(path: str, field_p: int, prime: str, link_libraries=(),
                 else buses
             )
             if d.name in names:
+                # SameFunctionDeclaredTwice / SameTemplateDeclaredTwice /
+                # SameSymbolDeclaredTwice (error_code.rs:156-158)
+                prev = names[d.name]
+                if isinstance(d, Function) and isinstance(prev, Function):
+                    dup_code = "T2006"
+                elif isinstance(d, Template) and isinstance(prev, Template):
+                    dup_code = "T2007"
+                else:
+                    dup_code = "T2008"
                 errors.add(
                     Report.error(
-                        f"duplicate definition of symbol '{d.name}'", "P1006"
+                        f"duplicate definition of symbol '{d.name}'",
+                        dup_code,
                     ).add_primary(d.meta.file_id, d.meta.start, d.meta.start + 8)
                 )
             names[d.name] = d

@@ -28,8 +28,9 @@ from .ast import (AnonymousComp, AnonymousCompStmt, ArrayAccess, Assert,
 from ..utils.reports import Report
 
 
-def _err(msg, meta=None):
-    r = Report.error(msg, "T2050")
+def _err(msg, meta=None, code="TAC01"):
+    # AnonymousCompError TAC01 / TupleError TAC02 (error_code.rs:251-252)
+    r = Report.error(msg, code)
     if meta is not None:
         r.add_primary(meta.file_id, meta.start, meta.end)
     return r

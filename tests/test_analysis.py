@@ -36,7 +36,7 @@ pragma circom 2.0.0;
 function f(x) { signal s; return x; }
 template T() { signal input a; signal output b; b <== a * f(1); }
 component main = T();
-""", "T2014")
+""", "T2016")
 
 
 def test_unknown_call():
@@ -44,7 +44,7 @@ def test_unknown_call():
 pragma circom 2.0.0;
 template T() { signal input a; signal output b; b <== nosuch(a); }
 component main = T();
-""", "T2007")
+""", "T2002")
 
 
 def test_call_arity():
@@ -53,7 +53,7 @@ pragma circom 2.0.0;
 function f(x, y) { return x + y; }
 template T() { signal input a; signal output b; b <== a * f(1); }
 component main = T();
-""", "T2011")
+""", "T2012")
 
 
 def test_undeclared_symbol():
@@ -103,7 +103,7 @@ pragma circom 2.0.0;
 function f(x) { x === 1; return x; }
 template T() { signal input a; signal output b; b <== a * f(1); }
 component main = T();
-""", "T2014")
+""", "T2039")
 
 
 def test_var_unknown_dimension_reported():

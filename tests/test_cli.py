@@ -82,3 +82,17 @@ def test_witness_tpu_sanity_check_off(tmp_path):
                "--witness-tpu", inp, "--sanity_check", "0"])
     assert rc == 0
     assert os.path.exists(tmp_path / "bad.0.wtns")
+
+
+def test_compat_flags(tmp_path):
+    """Reference compat flags (--wat/--inputs/--irout/--no_asm,
+    input_user.rs:397-585) are honored with TPU-native equivalents
+    rather than silently dropped."""
+    circ = _write(tmp_path, "g.circom", GOOD)
+    rc = main([circ, "--prime", "goldilocks", "-o", str(tmp_path),
+               "--wat", "--inputs", "--irout", "--no_asm"])
+    assert rc == 0
+    assert (tmp_path / "g.tpu.json").exists()
+    assert "in dims=[] offset=0" in (tmp_path / "log_inputs.txt").read_text()
+    ir = (tmp_path / "g.ir.txt").read_text()
+    assert "%0 = input" in ir and "outputs:" in ir
