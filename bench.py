@@ -113,11 +113,10 @@ src = open("circom_tpu/circuits/sha256.circom").read() \
     + "\ncomponent main = Sha256Block();\n"
 cc = compile_source(src)
 tape, _ = cc.build_tape()
-# same range hints the TPU path gets: the narrow int64 fast path is
-# the reference FrElement short-value analog
-nc = NativeCalculator(tape, spec,
-                      input_ranges={i: (0, 1)
-                                    for i in range(tape.n_inputs)})
+# same range hints the TPU path gets (derived from the circuit's own
+# bit constraints): the narrow int64 fast path is the reference
+# FrElement short-value analog
+nc = NativeCalculator(tape, spec, input_ranges=cc.input_range_hints())
 rows = [[rng.randrange(2) for _ in range(tape.n_inputs)]
         for _ in range(256)]
 set_threads(1)
@@ -257,7 +256,10 @@ def bench_sha256(jax, extras, hbm_peak):
     cc = compile_source(src)
     tape, _layout = cc.build_tape()
     spec = field_spec("bn128")
-    ranges = {i: (0, 1) for i in range(tape.n_inputs)}
+    # automatic: the in[k]*(in[k]-1)===0 bit constraints prove the
+    # inputs narrow (pipeline.input_range_hints)
+    ranges = cc.input_range_hints()
+    assert len(ranges) == tape.n_inputs, "expected all 512 inputs proven"
     prog = WitnessProgram(tape, spec, unroll_threshold=0, mode="interp",
                           input_ranges=ranges)
     f = prog.fused

@@ -219,8 +219,11 @@ def main(argv=None):
         if isinstance(batch_inputs, dict):
             batch_inputs = [batch_inputs]
         tape, layout = cc.build_tape()
+        # bit-constrained main inputs feed the narrow int32 lane
+        # automatically (pipeline.input_range_hints)
         prog = WitnessProgram(tape, field_spec(args.prime),
-                              unroll_threshold=0)
+                              unroll_threshold=0,
+                              input_ranges=cc.input_range_hints())
         try:
             cols = _batch_columns(cc, batch_inputs, layout, prog)
         except (Report, ReportCollection) as r:

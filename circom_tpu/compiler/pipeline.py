@@ -17,7 +17,36 @@ from ..emit.binfmt import write_r1cs, write_wtns, field_size_bytes
 from ..backend.tape import Tape
 from .executor import Executor
 from .dag import DAG
+from .algebra import CONST
 from .simplify import SimplifiedSystem, simplify
+
+
+def _bit_constraint_signal(a, b, c, hf):
+    """If A*B-C=0 involves exactly one signal x (plus the constant
+    wire) and is equivalent to x*(x-1)=0, return x, else None.
+
+    q(x) = (a1 x + a0)(b1 x + b0) - (c1 x + c0) with a1*b1 != 0 and
+    q(0) = q(1) = 0 factors as a1*b1 * x * (x-1): roots exactly {0,1}.
+    """
+    sigs = set()
+    for d in (a, b, c):
+        for k in d:
+            if k != CONST:
+                sigs.add(k)
+    if len(sigs) != 1:
+        return None
+    (x,) = sigs
+    a1, a0 = a.get(x, 0), a.get(CONST, 0)
+    b1, b0 = b.get(x, 0), b.get(CONST, 0)
+    c1, c0 = c.get(x, 0), c.get(CONST, 0)
+    if a1 == 0 or b1 == 0:
+        return None
+    p = hf.p
+    if (a0 * b0 - c0) % p:
+        return None
+    if ((a1 + a0) * (b1 + b0) - c1 - c0) % p:
+        return None
+    return x
 
 
 class CompiledCircuit:
@@ -178,6 +207,48 @@ class CompiledCircuit:
                 out.append((name, tuple(dims), off))
                 off += n
         return out
+
+    def input_range_hints(self):
+        """{flat main-input index: (lo, hi)} proven by the constraint
+        system itself: a main input x carrying a bit constraint
+        x*(x-1) === 0 is {0,1} in every valid witness, so the narrow
+        int32 lane may compute on it directly (backend/ranges.py).
+
+        This is the automatic analog of the range information the
+        reference exports through signal tags — main inputs cannot be
+        tagged (type_check.rs:109 MainComponentWithTags), so the hints
+        come from the constraints instead.  Sound under the same
+        contract as the reference's emitted runtimes with asserts on
+        (--sanity_check >= 1 validates every constraint on-device, so
+        an out-of-range input fails loudly rather than silently
+        diverging).
+        """
+        main_node = self.dag.nodes[self.main_node_id]
+        elem_to_sid = {v: k for k, v in main_node.id_to_elem.items()}
+        # flat input index -> global signal id (main is the walk root,
+        # offset 0, so local ids ARE global ids)
+        gid_of = []
+        for (name, dims, xtype, _tags, layout) in main_node.wire_info:
+            if xtype != A.SignalType.INPUT:
+                continue
+            n = 1
+            for d in dims:
+                n *= d
+            if layout is not None:
+                n *= layout.size
+            for j in range(n):
+                gid_of.append(elem_to_sid.get((name, j)))
+        # final wire ids of those inputs
+        smap = (None if self.simplified is None
+                else self.simplified.signal_map)
+        wire_of = [g if smap is None else smap.get(g) for g in gid_of]
+        bits = set()
+        for (a, b, c) in self.r1cs_rows():
+            s = _bit_constraint_signal(a, b, c, self.hf)
+            if s is not None:
+                bits.add(s)
+        return {flat: (0, 1) for flat, w in enumerate(wire_of)
+                if w is not None and w in bits}
 
     def _assemble(self, instances_by_path, const_one):
         """Collect witness values in O0 global order ([0]=1, then DFS)."""

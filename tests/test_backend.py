@@ -260,3 +260,52 @@ component main = Div();
     # bound overflow -> guard fires
     out2 = np.asarray(prog.run(prog.encode_inputs([[100000], [1]])))
     assert out2[n_wit:].any()
+
+
+def test_input_range_hints_from_bit_constraints():
+    """Main inputs carrying x*(x-1)===0 get automatic (0,1) hints
+    (pipeline.input_range_hints); unconstrained inputs do not."""
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input a[3];
+    signal input w;       // unconstrained: no hint
+    signal output out;
+    for (var k = 0; k < 3; k++) { a[k] * (a[k] - 1) === 0; }
+    out <== (a[0] + 2*a[1] + 4*a[2]) * w;
+}
+component main = T();
+"""
+    cc = compile_source(src)
+    hints = cc.input_range_hints()
+    assert hints == {0: (0, 1), 1: (0, 1), 2: (0, 1)}
+    # O0 path (no simplification remap) derives the same hints
+    cc0 = compile_source(src, simplification="O0")
+    assert cc0.input_range_hints() == hints
+    # scaled/rearranged bit constraints still match: 3a(a-1)=0, a(1-a)=0
+    src2 = """
+pragma circom 2.0.0;
+template T() {
+    signal input a;
+    signal input b;
+    signal output out;
+    3*a * (a - 1) === 0;
+    b * (1 - b) === 0;
+    out <== a * b;
+}
+component main = T();
+"""
+    hints2 = compile_source(src2).input_range_hints()
+    assert hints2 == {0: (0, 1), 1: (0, 1)}
+    # and the hinted program computes correctly on the narrow lane
+    tape, _ = cc.build_tape()
+    prog = WitnessProgram(tape, SPEC, unroll_threshold=0,
+                          input_ranges=hints)
+    cols = [[1, 0], [0, 1], [1, 1], [5, 7]]  # a0 a1 a2 w, batch=2
+    out = np.asarray(prog.run(prog.encode_inputs(cols)))
+    for j in range(2):
+        w = cc.witness_host({"a": [cols[0][j], cols[1][j], cols[2][j]],
+                             "w": cols[3][j]})
+        from circom_tpu.ops.limbs import limbs_to_int
+        got = [limbs_to_int(out[i, :, j]) for i in range(prog.n_witness)]
+        assert got == list(w)
