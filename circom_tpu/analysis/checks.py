@@ -220,10 +220,13 @@ class Analyzer:
             self.check_custom_gate(t)
 
     def check_custom_gate(self, t: A.Template):
+        # codes match custom_gate_analysis.rs + parser/lib.rs:131
+        # (CG01 warning / CG02 constraint / CG03 subcomponent /
+        #  CG04 pragma, error_code.rs:246-249)
         if not self.archive.custom_gates:
             self.error(
                 f"custom template '{t.name}' requires "
-                "`pragma custom_templates`", "P1011", t.meta,
+                "`pragma custom_templates`", "CG04", t.meta,
             )
 
         def fn(st):
@@ -231,19 +234,28 @@ class Analyzer:
                 "component", "anonymous_component",
             ):
                 self.error(
-                    "custom templates cannot declare subcomponents",
-                    "T2024", st.meta,
+                    f"Component {st.name} declared in custom template "
+                    f"{t.name}", "CG03", st.meta,
                 )
+            if (isinstance(st, A.Declaration)
+                    and st.xtype.kind in ("signal", "bus")
+                    and st.xtype.signal_type == A.SignalType.INTERMEDIATE):
+                r = Report.warning(
+                    f"Intermediate signal {st.name} declared in custom "
+                    f"template {t.name}", "CG01")
+                r.add_primary(st.meta.file_id, st.meta.start, st.meta.end)
+                self.reports.add(r)
             if isinstance(st, A.Substitution) and st.op in (
                 A.AssignOp.CONSTRAINT,
             ):
                 self.error(
-                    "custom templates cannot use <== (only <--)",
-                    "T2024", st.meta,
+                    "Added constraint inside custom template "
+                    "(use <-- in custom templates)", "CG02", st.meta,
                 )
             if isinstance(st, A.ConstraintEquality):
                 self.error(
-                    "custom templates cannot use ===", "T2024", st.meta)
+                    "Added constraint inside custom template", "CG02",
+                    st.meta)
 
         self._walk_stmts(t.body, fn)
 

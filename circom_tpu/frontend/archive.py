@@ -91,16 +91,29 @@ def run_parser(path: str, field_p: int, prime: str, link_libraries=(),
                     f"file {f} requires compiler version "
                     f"{'.'.join(map(str, ast.version))}, this is "
                     f"{'.'.join(map(str, COMPILER_VERSION))}",
-                    "P1014",
+                    "P1003",  # CompilerVersionError
                 )
             )
         if ast.version is None:
             warnings.add(
                 Report.warning(
                     f"file {f} does not include a `pragma circom` version",
-                    "P1010",
+                    "P1004",  # NoCompilerVersionWarning
                 )
             )
+        if ast.custom_gates:
+            # custom templates need >= 2.0.6
+            # (parser/src/lib.rs:220-273, CustomGatesVersionError)
+            v = ast.version or COMPILER_VERSION
+            if tuple(v) < (2, 0, 6):
+                errors.add(
+                    Report.error(
+                        f"file {f} requires at least version 2.0.6 to "
+                        f"use custom templates "
+                        f"(currently {'.'.join(map(str, v))})",
+                        "CG05",
+                    )
+                )
         parsed[f] = ast
         order.append(f)
         if ast.main is not None:

@@ -112,7 +112,7 @@ def tokenize(src: str, file_id: int) -> list:
             m = _string_re.match(src, i)
             if not m:
                 raise ReportCollection([
-                    Report.error("unterminated string", "P1004").add_primary(
+                    Report.error("unterminated string", "P1012").add_primary(
                         file_id, i, i + 1
                     )
                 ])
@@ -143,7 +143,7 @@ def tokenize(src: str, file_id: int) -> list:
                 break
         else:
             raise ReportCollection([
-                Report.error(f"invalid character {c!r}", "P1004").add_primary(
+                Report.error(f"invalid character {c!r}", "P1012").add_primary(
                     file_id, i, i + 1
                 )
             ])

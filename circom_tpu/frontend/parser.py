@@ -78,9 +78,11 @@ class Parser:
                 )
             )
 
-    def fail(self, msg, tok=None):
+    def fail(self, msg, tok=None, code="P1012"):
+        # P1012 = IllegalExpression, the reference's generic parse-error
+        # code (parser_logic.rs:126)
         tok = tok or self.peek()
-        rep = Report.error(msg, "P1004").add_primary(self.file_id, tok.start, tok.end)
+        rep = Report.error(msg, code).add_primary(self.file_id, tok.start, tok.end)
         self.errors.add(rep)
         return self.errors
 
@@ -96,14 +98,22 @@ class Parser:
             self.next()
             if self.at("circom"):
                 self.next()
-                version = self.parse_version()
+                if version is not None:
+                    self.fail("multiple `pragma circom` in file",
+                              code="P1013")
+                if self.at("num"):
+                    version = self.parse_version()
+                else:
+                    self.fail("unrecognized version", code="P1010")
+                    while not self.at(";", "eof"):
+                        self.next()
                 self.expect_semi()
             elif self.at("custom_templates"):
                 self.next()
                 custom_gates = True
                 self.expect_semi()
             else:
-                self.fail("unrecognized pragma")
+                self.fail("unrecognized pragma", code="P1011")
                 while not self.at(";", "eof"):
                     self.next()
                 self.expect_semi()
@@ -119,7 +129,8 @@ class Parser:
                 definitions.append(self.parse_definition())
             elif self.at("component") and self.peek(1).kind == "main":
                 if main is not None:
-                    self.fail("multiple main components in file")
+                    self.fail("multiple main components in file",
+                              code="P1002")
                 main = self.parse_main_component()
             else:
                 raise self.fail("expected definition or main component")

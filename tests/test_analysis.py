@@ -70,12 +70,12 @@ pragma circom 2.0.0;
 template custom CG() { signal input a; signal output b; b <-- a; }
 template T() { signal input x; signal output y; y <== x; }
 component main = T();
-""", "P1011")
+""", "CG04")
 
 
 def test_custom_gate_no_subcomponents():
     expect_code("""
-pragma circom 2.0.0;
+pragma circom 2.0.6;
 pragma custom_templates;
 template Inner() { signal input a; signal output b; b <-- a; }
 template custom CG() {
@@ -86,7 +86,7 @@ template custom CG() {
 }
 template T() { signal input x; signal output y; y <== x; }
 component main = T();
-""", "T2024")
+""", "CG03")
 
 
 def test_main_public_must_be_input():
