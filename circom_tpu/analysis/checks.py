@@ -229,10 +229,18 @@ class Analyzer:
                 "`pragma custom_templates`", "CG04", t.meta,
             )
 
+        # the reference's custom_gate_analysis returns Err(errors) and
+        # DROPS the CG01 warnings when any CG02/CG03 error exists
+        # (custom_gate_analysis.rs:137-151) — collect locally and only
+        # publish the warnings on a clean walk
+        cg_warnings = []
+        had_error = [False]
+
         def fn(st):
             if isinstance(st, A.Declaration) and st.xtype.kind in (
                 "component", "anonymous_component",
             ):
+                had_error[0] = True
                 self.error(
                     f"Component {st.name} declared in custom template "
                     f"{t.name}", "CG03", st.meta,
@@ -244,20 +252,25 @@ class Analyzer:
                     f"Intermediate signal {st.name} declared in custom "
                     f"template {t.name}", "CG01")
                 r.add_primary(st.meta.file_id, st.meta.start, st.meta.end)
-                self.reports.add(r)
+                cg_warnings.append(r)
             if isinstance(st, A.Substitution) and st.op in (
                 A.AssignOp.CONSTRAINT,
             ):
+                had_error[0] = True
                 self.error(
                     "Added constraint inside custom template "
                     "(use <-- in custom templates)", "CG02", st.meta,
                 )
             if isinstance(st, A.ConstraintEquality):
+                had_error[0] = True
                 self.error(
                     "Added constraint inside custom template", "CG02",
                     st.meta)
 
         self._walk_stmts(t.body, fn)
+        if not had_error[0]:
+            for r in cg_warnings:
+                self.reports.add(r)
 
     def check_function(self, f: A.Function):
         def fn(st):

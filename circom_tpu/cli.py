@@ -221,11 +221,18 @@ def main(argv=None):
         tape, layout = cc.build_tape()
         # bit-constrained main inputs feed the narrow int32 lane
         # automatically (pipeline.input_range_hints)
+        hints = cc.input_range_hints()
         prog = WitnessProgram(tape, field_spec(args.prime),
                               unroll_threshold=0,
-                              input_ranges=cc.input_range_hints())
+                              input_ranges=hints)
         try:
             cols = _batch_columns(cc, batch_inputs, layout, prog)
+            # hinted inputs are validated HOST-SIDE unconditionally:
+            # the narrow int32 lane is only sound for in-range values,
+            # and with --sanity_check 0 the batched R1CS check that
+            # would otherwise catch a violation is off — an out-of-
+            # range input must fail loudly, never emit a wrong .wtns
+            _check_hinted_columns(cols, hints, cc.p, layout)
         except (Report, ReportCollection) as r:
             _print_reports(r, cc.archive.file_library)
             return 1
@@ -304,6 +311,33 @@ def _extern_c_banner(tmpl, prime):
     sig = f"void {tmpl.name}({','.join(params)});"
     return (f"*** The method {sig} generated by the custom gate "
             f"{tmpl.name} needs to be implemented ***\n")
+
+
+def _check_hinted_columns(cols, hints, p, layout):
+    """Reject input values outside their proven range hints.
+
+    `input_range_hints` narrows inputs whose bit constraints prove a
+    range in every VALID witness; a violating input would make the
+    int32 lane diverge from mod-p arithmetic.  Validation is host-side
+    and unconditional (independent of --sanity_check)."""
+    if not hints:
+        return
+    half = p >> 1
+
+    def name_of(flat):
+        for (nm, _dims, off) in reversed(layout):
+            if off <= flat:
+                return f"{nm}[{flat - off}]" if flat > off else nm
+        return f"#{flat}"
+
+    for idx, (lo, hi) in hints.items():
+        for bi, v in enumerate(cols[idx]):
+            s = v if v <= half else v - p
+            if not (lo <= s <= hi):
+                raise Report.error(
+                    f"input '{name_of(idx)}' of witness {bi} is {s}, "
+                    f"outside the range [{lo}, {hi}] required by its "
+                    "constraints", "T3015")
 
 
 def _batch_columns(cc, batch_inputs, layout, prog):

@@ -103,14 +103,27 @@ def run_parser(path: str, field_p: int, prime: str, link_libraries=(),
             )
         if ast.custom_gates:
             # custom templates need >= 2.0.6
-            # (parser/src/lib.rs:220-273, CustomGatesVersionError)
-            v = ast.version or COMPILER_VERSION
-            if tuple(v) < (2, 0, 6):
+            # (parser/src/lib.rs:220-273, CustomGatesVersionError);
+            # the no-pragma case gets its own wording in the reference
+            # (lib.rs:244-258: "does not include pragma version")
+            if ast.version is None:
+                if tuple(COMPILER_VERSION) < (2, 0, 6):
+                    errors.add(
+                        Report.error(
+                            f"file {f} does not include pragma version "
+                            "and the compiler version (currently "
+                            f"{'.'.join(map(str, COMPILER_VERSION))}) "
+                            "should be at least 2.0.6 to use custom "
+                            "templates",
+                            "CG05",
+                        )
+                    )
+            elif tuple(ast.version) < (2, 0, 6):
                 errors.add(
                     Report.error(
                         f"file {f} requires at least version 2.0.6 to "
                         f"use custom templates "
-                        f"(currently {'.'.join(map(str, v))})",
+                        f"(currently {'.'.join(map(str, ast.version))})",
                         "CG05",
                     )
                 )

@@ -146,3 +146,64 @@ component main = T();
 """
     cc = compile_source(src)
     assert cc.witness_host({"x": 3})[1] == 4
+
+
+def test_cg01_warnings_dropped_when_custom_gate_errors():
+    """The reference's custom_gate_analysis returns Err(errors) and drops
+    CG01 warnings when CG02/CG03 errors exist
+    (custom_gate_analysis.rs:137-151)."""
+    src = """
+pragma circom 2.0.6;
+pragma custom_templates;
+template custom CG() {
+    signal input a;
+    signal inter;       // CG01 warning candidate
+    signal output b;
+    inter <== a;        // CG02 error
+    b <-- a;
+}
+template T() { signal input x; signal output y; y <== x; }
+component main = T();
+"""
+    with pytest.raises(ReportCollection) as ei:
+        compile_source(src)
+    codes = [r.code for r in ei.value.reports]
+    assert "CG02" in codes
+    assert "CG01" not in codes
+
+
+def test_cg01_warning_survives_clean_custom_gate():
+    src = """
+pragma circom 2.0.6;
+pragma custom_templates;
+template custom CG() {
+    signal input a;
+    signal inter;       // CG01 warning
+    signal output b;
+    b <-- a;
+}
+template T() { signal input x; signal output y; y <== x; }
+component main = T();
+"""
+    cc = compile_source(src)
+    assert cc is not None  # warnings do not abort compilation
+
+
+def test_cg05_no_pragma_wording():
+    """Custom templates in a file with NO `pragma circom` get the
+    reference's distinct no-pragma message (parser/lib.rs:244-258),
+    not the 'requires at least version' wording — only observable when
+    the compiler version is < 2.0.6, which ours is not; assert the
+    versioned wording picks the FILE version when present."""
+    src = """
+pragma circom 2.0.0;
+pragma custom_templates;
+template custom CG() { signal input a; signal output b; b <-- a; }
+template T() { signal input x; signal output y; y <== x; }
+component main = T();
+"""
+    with pytest.raises(ReportCollection) as ei:
+        compile_source(src)
+    msgs = [r.message for r in ei.value.reports if r.code == "CG05"]
+    assert msgs and "requires at least version 2.0.6" in msgs[0]
+    assert "currently 2.0.0" in msgs[0]

@@ -96,3 +96,45 @@ def test_compat_flags(tmp_path):
     assert "in dims=[] offset=0" in (tmp_path / "log_inputs.txt").read_text()
     ir = (tmp_path / "g.ir.txt").read_text()
     assert "%0 = input" in ir and "outputs:" in ir
+
+
+# a bit-constrained input: input_range_hints proves {0,1}, so the
+# narrow int32 lane is used — an out-of-range input must be rejected
+# host-side even with --sanity_check 0
+BIT_INPUT = """
+pragma circom 2.0.0;
+template T() {
+    signal input b;
+    signal output o;
+    b * (b - 1) === 0;
+    o <== b + 1;
+}
+component main = T();
+"""
+
+
+def test_witness_tpu_hinted_input_out_of_range(tmp_path, capsys):
+    """Range-hinted inputs are validated host-side UNCONDITIONALLY:
+    with --sanity_check 0 the batched R1CS check is off, so a value
+    violating its bit constraint must fail loudly (T3015) instead of
+    silently emitting an int32-lane-divergent .wtns."""
+    circ = _write(tmp_path, "bit.circom", BIT_INPUT)
+    inp = _inputs(tmp_path, [{"b": 1}, {"b": 2}])
+    rc = main([circ, "--prime", "goldilocks", "-o", str(tmp_path),
+               "--witness-tpu", inp, "--sanity_check", "0"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "T3015" in err and "'b'" in err and "witness 1" in err
+    assert not os.path.exists(tmp_path / "bit.0.wtns")
+
+
+def test_witness_tpu_hinted_input_in_range(tmp_path):
+    circ = _write(tmp_path, "bit.circom", BIT_INPUT)
+    inp = _inputs(tmp_path, [{"b": 1}, {"b": 0}])
+    rc = main([circ, "--prime", "goldilocks", "-o", str(tmp_path),
+               "--witness-tpu", inp, "--sanity_check", "0"])
+    assert rc == 0
+    from circom_tpu.emit.binfmt import read_wtns
+
+    assert read_wtns(str(tmp_path / "bit.0.wtns"))["values"][1] == 2
+    assert read_wtns(str(tmp_path / "bit.1.wtns"))["values"][1] == 1
