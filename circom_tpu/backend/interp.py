@@ -40,13 +40,15 @@ from ..ops.limb_emit import MASK, LimbEmitter
 from ..ops.jfield import on_tpu
 from .plan import ExpandedTape, UnsupportedTapeOp, expanded_ranges
 
-# ops the interpreter kernel supports (shifts need static immediates —
-# those tapes run on the segmented/scan paths instead)
+# ops the interpreter kernel supports (dynamic pow/shl/shr/mod were
+# already lowered to these by backend/dynops.py; idiv executes as an
+# in-kernel long-division fori_loop)
 _VV_OPS = {
     "mul", "add", "sub", "select",
     "eq", "neq", "lt", "le", "gt", "ge",
     "land", "lor", "lnot",
     "band", "bor", "bxor", "bnot",
+    "idiv",
 }
 # ops with a constant operand that get a const-bank variant
 _C_VARIANTS = {"mul": "mul_c", "add": "add_c", "sub": "sub_c"}
@@ -58,7 +60,7 @@ _CMP = {"eq", "neq", "lt", "le", "gt", "ge", "land", "lor"}
 # opcodes whose result lives in the narrow int32 register file
 _NARROW_RESULT = (
     {"nmul", "nadd", "nsub", "nsel", "nsel_w", "nband", "nbor", "nbxor",
-     "nshl", "nshr", "nband_w", "lnot_n", "lnot_w"}
+     "nshl", "nshr", "nband_w", "lnot_n", "lnot_w", "nidiv"}
     | {f"{o}_nn" for o in _CMP} | {f"{o}_ww" for o in _CMP}
 )
 
@@ -69,6 +71,7 @@ _OPERAND_FILES = {
     "nsub": ("n", "n", "w"), "nband": ("n", "n", "w"),
     "nbor": ("n", "n", "w"), "nbxor": ("n", "n", "w"),
     "nsel": ("n", "n", "n"), "nsel_w": ("w", "n", "n"),
+    "nidiv": ("n", "n", "w"),
     "nshl": ("n", "w", "w"), "nshr": ("n", "w", "w"),
     "nband_w": ("w", "w", "w"), "widen": ("n", "w", "w"),
     "lnot_n": ("n", "w", "w"), "lnot_w": ("w", "w", "w"),
@@ -702,6 +705,12 @@ class InterpreterProgram:
                 steps.append(({"shl_k": "nshl", "shr_k": "nshr"}[op],
                               nform(a[0]), None, None, i, xt.imms[i]))
                 continue
+            if nrw_i and op == "idiv":
+                # both operands proven nonneg int32 (ranges.py gate):
+                # plain int32 division, idiv(a, 0) = 0
+                steps.append(("nidiv", nform(a[0]), nform(a[1]), None,
+                              i, None))
+                continue
 
             # ---- wide ops ---------------------------------------------
             if op == "mulp":
@@ -1264,9 +1273,66 @@ class InterpreterProgram:
                         return em.cond_sub(rows, zero, zero)
                     return rows
 
+                def idiv_rows():
+                    # limb-level binary long division over the
+                    # canonical operands: BITS fori_loop iterations of
+                    # shift-in / compare / predicated subtract.  The
+                    # bit shifted out of the top limb ("topbit") forces
+                    # the subtract; the wraparound difference mod
+                    # 2^(16L) is then exact (see jfield.idiv).
+                    # idiv(a, 0) = 0 (backend/dynops.py contract).
+                    BITS = p.bit_length()
+                    av = [jnp.broadcast_to(rf[ia, i2], (8, bb))
+                          for i2 in range(L)]
+                    bv = [jnp.broadcast_to(rf[ib, i2], (8, bb))
+                          for i2 in range(L)]
+                    nzb = bv[0]
+                    for j in range(1, L):
+                        nzb = nzb | bv[j]
+                    a_s = jnp.stack(av)
+                    b_s = jnp.stack(bv)
+
+                    def body(t, carry):
+                        R, Q = carry
+                        i2 = BITS - 1 - t
+                        li = i2 // LIMB_BITS
+                        sh = (i2 % LIMB_BITS).astype(jnp.uint32)
+                        la = zero
+                        for j in range(L):
+                            la = jnp.where(li == j, a_s[j], la)
+                        bit = (la >> sh) & 1
+                        topbit = R[L - 1] >> (LIMB_BITS - 1)
+                        rws = [((R[0] << 1) & MASK) | bit]
+                        for j in range(1, L):
+                            rws.append(((R[j] << 1) & MASK)
+                                       | (R[j - 1] >> (LIMB_BITS - 1)))
+                        borrow = jnp.zeros((8, bb), jnp.int32)
+                        subs = []
+                        for j in range(L):
+                            v = rws[j].astype(jnp.int32) \
+                                - b_s[j].astype(jnp.int32) - borrow
+                            subs.append((v & MASK).astype(jnp.uint32))
+                            borrow = -(v >> LIMB_BITS)
+                        ge = (topbit != 0) | (borrow == 0)
+                        Rn = jnp.stack([jnp.where(ge, subs[j], rws[j])
+                                        for j in range(L)])
+                        qbit = jnp.where(ge, jnp.uint32(1) << sh,
+                                         jnp.uint32(0))
+                        Qn = jnp.stack(
+                            [jnp.where(li == j, Q[j] | qbit, Q[j])
+                             for j in range(L)])
+                        return Rn, Qn
+
+                    z3 = jnp.zeros((L, 8, bb), jnp.uint32)
+                    _, q3 = lax.fori_loop(0, BITS, body, (z3, z3))
+                    return [jnp.where(nzb == 0, zero, q3[j])
+                            for j in range(L)]
+
                 def wbranch(op):
                     if op == "widen":
                         rows = widen_rows()
+                    elif op == "idiv":
+                        rows = idiv_rows()
                     elif op == "shl_kw":
                         rows = shift_w(True)
                     elif op == "shr_kw":
@@ -1323,6 +1389,10 @@ class InterpreterProgram:
                         return na - rf_n[ib]
                     if op == "nsel":
                         return jnp.where(na != 0, rf_n[ib], rf_n[ic])
+                    if op == "nidiv":
+                        nb = rf_n[ib]
+                        return jnp.where(nb == 0, 0,
+                                         na // jnp.where(nb == 0, 1, nb))
                     if op == "nsel_w":
                         return jnp.where(nnz_wide(), rf_n[ib], rf_n[ic])
                     if op == "nband":

@@ -43,7 +43,10 @@ _NORM_OPS = {
     "idiv", "mod",
 }
 _MONT_OPS = {"mul", "div", "pow_k", "pow"}
-_UNSUPPORTED_JAX = {"shl", "shr", "idiv", "mod", "pow"}
+# every tape op is executable: witness-dependent pow/shl/shr/mod are
+# LOWERED to primitive ops first (backend/dynops.py), idiv runs as
+# limb-level long division in every backend
+_UNSUPPORTED_JAX = set()
 
 
 class DomainTape:
@@ -178,12 +181,9 @@ class WitnessProgram:
 
     def __init__(self, tape: Tape, spec: FieldSpec, unroll_threshold=4096,
                  slots=8, mode="auto", input_ranges=None):
-        for op in set(tape.ops):
-            if op in _UNSUPPORTED_JAX:
-                raise NotImplementedError(
-                    f"tape op '{op}' not supported by the JAX backend yet "
-                    "(use the host witness calculator)"
-                )
+        from .dynops import lower_dynamic_ops
+
+        tape = lower_dynamic_ops(tape)
         self.spec = spec
         self.jf = JaxField(spec)
         from .ranges import narrow_nodes
@@ -433,6 +433,8 @@ class WitnessProgram:
             "shl_k": lambda a, b, c, k: shl_dyn(a, k),
             "shr_k": lambda a, b, c, k: shr_dyn(a, k),
             "pow_k": lambda a, b, c, k: pow_dyn(a, k),
+            "idiv": lambda a, b, c, k: jf.idiv(a, b),
+            "mod": lambda a, b, c, k: jf.imod(a, b),
             "select": lambda a, b, c, k: jf.select_bool(jf.as_bool(a), b, c),
             "to_mont": lambda a, b, c, k: jf.to_mont(a),
             "from_mont": lambda a, b, c, k: jf.from_mont(a),
@@ -490,6 +492,10 @@ class WitnessProgram:
                 vals[i] = jf.neg(vals[args[0]])
             elif op == "div":
                 vals[i] = jf.div_mont(vals[args[0]], vals[args[1]])
+            elif op == "idiv":
+                vals[i] = jf.idiv(vals[args[0]], vals[args[1]])
+            elif op == "mod":
+                vals[i] = jf.imod(vals[args[0]], vals[args[1]])
             elif op == "to_mont":
                 vals[i] = jf.to_mont(vals[args[0]])
             elif op == "from_mont":

@@ -34,6 +34,7 @@ KERNEL_OPS = {
     "land", "lor", "lnot",
     "band", "bor", "bxor", "bnot",
     "shl_k", "shr_k",
+    "idiv",  # limb-level long division (backend/dynops.py contract)
 }
 
 
@@ -101,6 +102,9 @@ class ExpandedTape:
             }
             if op in table:
                 return table[op](vals[0], vals[1])
+            if op == "idiv":
+                # batched contract: idiv(a, 0) = 0 (dynops.py docstring)
+                return vals[0] // vals[1] if vals[1] else 0
             if op == "lnot":
                 return hf.bool_not(vals[0])
             if op == "bnot":
@@ -249,6 +253,9 @@ def expanded_ranges(xt: "ExpandedTape", input_ranges=None):
             hi = r[0][1] << imm
             if hi <= NARROW_MAX and hi <= mask and hi < p:
                 rng[i] = (r[0][0] << imm, hi)
+        elif op == "idiv" and r[0] is not None and r[0][0] >= 0 \
+                and r[1] is not None and r[1][0] >= 0:
+            rng[i] = (0, r[0][1] // max(r[1][0], 1))
 
     from .ranges import GadgetSharpener
     sh = GadgetSharpener(

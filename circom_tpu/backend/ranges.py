@@ -216,6 +216,11 @@ def analyze_ranges(tape, input_ranges=None):
             if hi <= NARROW_MAX and hi <= mask and hi < p:
                 rng[i] = (r[0][0] << imm, hi)
             return
+        if op == "idiv" and r[0] is not None and r[0][0] >= 0 \
+                and r[1] is not None and r[1][0] >= 0:
+            # quotient <= dividend; idiv(a, 0) = 0 on the batched path
+            rng[i] = (0, r[0][1] // max(r[1][0], 1))
+            return
         # everything else (div, pow, bnot, dynamic shifts, ...) is wide
 
     half_p = half
@@ -272,6 +277,13 @@ def narrow_nodes(tape, input_ranges=None):
         if op in ("add", "sub", "mul", "neg", "bor", "bxor",
                   "shl_k", "shr_k"):
             if all(rng[x] is not None for x in args):
+                narrow.add(i)
+            continue
+        if op == "idiv":
+            # int32 division is only exact for NONNEG canonical
+            # operands (analyze_ranges already requires that to
+            # produce a range here)
+            if all(rng[x] is not None and rng[x][0] >= 0 for x in args):
                 narrow.add(i)
             continue
     return narrow, rng

@@ -78,6 +78,12 @@ class SegmentedProgram:
         self.interpret = interpret
         self.n_inputs = dtape.n_inputs
         self.xt = ExpandedTape(dtape, spec)
+        if any(op == "idiv" and lv
+               for op, lv in zip(self.xt.ops, self.xt.live)):
+            # long division needs the interpreter's in-kernel loop;
+            # the unrolled segment emitter has no loop construct
+            raise UnsupportedTapeOp("idiv requires the interpreter "
+                                    "backend")
         self._segment()
         self.total_cost = sum(s.cost for s in self.segments)
         if max_cost is not None and self.total_cost > max_cost:

@@ -6,8 +6,10 @@ rejects constraints/signals under unknown control flow
 (type_analysis unknown_known_analysis) the whole witness computation
 flattens at compile time into one dataflow DAG of field operations over the
 input signals — the TPU-native form.  Data-dependent `?:`/if over witness
-values become `select` nodes; loops over witness values are rejected here
-(the host calculator still handles them).
+values become `select` nodes; data-dependent `while` loops unroll with
+predication and a runtime guard (executor._exec_while_predicated);
+witness-dependent pow/shl/shr/mod lower to primitive ops and idiv runs
+as limb-level long division (backend/dynops.py).
 
 Nodes are hash-consed (CSE).  Ops carry an optional static immediate
 (shift amounts, exponents) so the JAX backend can specialize.

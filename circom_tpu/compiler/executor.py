@@ -909,10 +909,12 @@ class Executor:
             return
         # witness-dependent index: predicated write over every element
         # (the reference's generated code does runtime addressing;
-        # compile-time flattening uses selects)
-        if frame.unknown_depth:
-            raise err("dynamic index inside unknown condition", "T2041",
-                      s.meta)
+        # compile-time flattening uses selects).  Sound under unknown
+        # conditions too: the write becomes per-element selects on the
+        # live frame, and the enclosing unknown-if / predicated-while
+        # merge (_merge_scopes) conditions each changed element on the
+        # branch's active flag — circomlib bigint hint loops write
+        # d[i] with a data-dependent i inside data-dependent whiles.
         lin = self._linear_index(idx_vals, slc.dims, s.meta)
         if isinstance(value, Slice):
             raise err("dynamic-index array assignment must be scalar",
@@ -1067,8 +1069,13 @@ class Executor:
             decl.assigned.values[start + j] = True
             decl.slice.values[start + j] = vals[j]
             if self.mode == "constrain" and op == A.AssignOp.CONSTRAINT:
+                # reference convention: the constraint expression is
+                # lhs - rhs (perform_assign builds signal - value), so
+                # the quadratic negation lands on A and C = -linear —
+                # reproduced byte-exactly by the docs' worked example
+                # (constraints-json.md:49-96, tests/test_golden.py)
                 qname = prefix + names[start + j]
-                expr = alg.sub(vals[j], AExpr.signal(qname), self.hf)
+                expr = alg.sub(AExpr.signal(qname), vals[j], self.hf)
                 self._emit_constraint(expr, frame, meta)
         return count
 

@@ -95,14 +95,14 @@ class NativeCalculator:
         # narrow int64 fast path (the reference FrElement's short-value
         # representation, fr.hpp:12-26, classified at compile time by
         # the same range analysis the TPU narrow lane uses)
+        from ..backend.dynops import lower_dynamic_ops
         from ..backend.ranges import narrow_nodes
 
+        # dynamic pow/shl/shr/mod lower to primitive ops exactly as on
+        # the TPU path (tapeval keeps idiv native)
+        tape = lower_dynamic_ops(tape)
         nset, _ = narrow_nodes(tape, input_ranges or {})
         dt = DomainTape(tape, narrow=nset)
-        bad = {"shl", "shr", "pow"} & set(dt.ops)
-        if bad:
-            raise NotImplementedError(
-                f"native runtime does not support dynamic ops {bad}")
         n = len(dt.ops)
         R = 1 << 256
         op = np.zeros(n, np.int32)

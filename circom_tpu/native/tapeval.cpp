@@ -384,6 +384,16 @@ int tv_run_batch(void *h, int batch, const u64 *inputs, u64 *outputs) {
                                            : fe_to_i64(Cr, f));
                         break;
                     }
+                    case OP_IDIV: {
+                        // narrow gate proves both operands nonneg
+                        // (backend/ranges.py); by-zero mirrors the
+                        // wide path's error semantics
+                        int64_t aa = an ? av : fe_to_i64(Ar, f);
+                        int64_t bb = bn ? bv : fe_to_i64(Br, f);
+                        if (bb == 0) { err = 1; res = 0; break; }
+                        res = aa / bb;
+                        break;
+                    }
                     case OP_LNOT:
                         res = an ? (av == 0) : is_zero(Ar);
                         break;

@@ -405,6 +405,66 @@ class JaxField:
         return self._cond_sub_p(res, jnp.zeros(res.shape[:-2] + res.shape[-1:],
                                                jnp.uint32))
 
+    def idiv(self, a, b):
+        """Integer division of canonical representatives (a // b) by
+        limb-level binary long division over p.bit_length() steps
+        (modular_arithmetic.rs:48-57 semantics).  idiv(a, 0) = 0 — the
+        documented batched-TPU contract (the host calculator raises;
+        a batch cannot abort per element).
+
+        The remainder register R needs bits+1 bits transiently after
+        the shift-in step; the bit shifted out of the top limb is
+        tracked separately (``topbit``) and forces the subtract (when
+        set, R >= 2^(16L) > b, and the wraparound difference mod
+        2^(16L) equals the true difference since it is < b < 2^(16L)).
+        """
+        L = self.L
+        BITS = self.p.bit_length()
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
+        bz = self.is_zero(b)[..., None, :]
+
+        def body(t, carry):
+            R, Q = carry
+            i = BITS - 1 - t
+            li = i // LIMB_BITS
+            sh = (i % LIMB_BITS).astype(jnp.uint32)
+            la = jax.lax.dynamic_index_in_dim(a, li, axis=a.ndim - 2,
+                                              keepdims=False)
+            bit = (la >> sh) & 1
+            topbit = R[..., L - 1, :] >> (LIMB_BITS - 1)
+            rs = [((R[..., 0, :] << 1) & MASK) | bit]
+            for j in range(1, L):
+                rs.append(((R[..., j, :] << 1) & MASK)
+                          | (R[..., j - 1, :] >> (LIMB_BITS - 1)))
+            # wraparound Rs - b (valid whenever the subtract is taken)
+            borrow = jnp.zeros_like(bit, jnp.int32)
+            subs = []
+            for j in range(L):
+                v = rs[j].astype(jnp.int32) \
+                    - b[..., j, :].astype(jnp.int32) - borrow
+                subs.append((v & MASK).astype(jnp.uint32))
+                borrow = -(v >> LIMB_BITS)
+            ge = (topbit != 0) | (borrow == 0)
+            Rn = jnp.stack(
+                [jnp.where(ge, subs[j], rs[j]) for j in range(L)],
+                axis=-2)
+            qbit = jnp.where(ge, jnp.uint32(1) << sh, jnp.uint32(0))
+            onehot = (jnp.arange(L) == li).astype(jnp.uint32)[:, None]
+            Qn = Q | (onehot * qbit[..., None, :])
+            return Rn, Qn
+
+        z = jnp.zeros(shape, jnp.uint32)
+        _, q = jax.lax.fori_loop(0, BITS, body, (z, z))
+        return jnp.where(bz, 0, q)
+
+    def imod(self, a, b):
+        """a mod b over canonical representatives; mod(a, 0) = a (see
+        ``idiv``).  Exact via a - (a//b)*b: the product and difference
+        stay below p, so plain field ops equal the integer ops."""
+        return self.sub(a, self.mul_norm(self.idiv(a, b), b))
+
     def select(self, cond_val, a, b):
         """circom ?: — cond is a field value (NORM), picks a when nonzero."""
         return jnp.where(self.as_bool(cond_val)[..., None, :], a, b)

@@ -113,3 +113,44 @@ component main = T();
 """
     g = field_spec("goldilocks")
     run_native(src, [[3, 4], [g.p - 1, g.p - 2]], prime="goldilocks")
+
+
+def test_native_dynamic_ops_lowered():
+    """Witness-dependent pow/shl/shr/mod run on the native runtime via
+    the same dynops lowering as the TPU path (idiv stays native)."""
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input a;
+    signal input k;
+    signal output o1;
+    signal output o2;
+    signal output o3;
+    o1 <-- (a >> k) + (a << k);
+    o2 <-- a ** k;
+    o3 <-- (a \\ (k + 1)) + (a % (k + 1));
+    o1*0 === 0; o2*0 === 0; o3*0 === 0;
+}
+component main = T();
+"""
+    P = SPEC.p
+    run_native(src, [[123456, 7], [P - 2, 200], [5, P - 3], [9, 0],
+                     [P - 1, 254]])
+
+
+def test_native_narrow_idiv():
+    """Small bit-bounded operands take tapeval's narrow int64 idiv."""
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input a;
+    signal output q;
+    signal output r;
+    var m = a & 65535;         // proven narrow
+    q <-- m \\ 10;
+    r <-- m % 10;
+    q*0 === 0; r*0 === 0;
+}
+component main = T();
+"""
+    run_native(src, [[65535], [12345], [0], [99999999]])
