@@ -20,9 +20,12 @@ def constraints_json(rows):
 
 
 def substitutions_json(substitutions):
-    """substitutions: {old_signal: {signal: coef}} -> json string
-    (SubstitutionJSON stream, json_writer.rs:60-98)."""
+    """substitutions: {old_signal: {signal: coef}} -> json string.
+
+    A BARE dictionary, exactly as the reference writes it
+    (json_writer.rs:69-98 SubstitutionJSON emits `{ "sig" : {...}, ... }`
+    with no wrapper key; worked example simplification-json.md:43-95)."""
     out = {}
     for s, coeffs in sorted(substitutions.items()):
         out[str(s)] = {str(k): str(v) for k, v in sorted(coeffs.items())}
-    return json.dumps({"substitution": out}, indent=1)
+    return json.dumps(out, indent=1)
