@@ -100,6 +100,11 @@ class R1CSChecker:
         reference's injected per-constraint asserts (--sanity_check,
         store_bucket.rs:674-733 / input_user.rs:514-520)."""
         jf = self.jf
+        B = z.shape[-1]
+        if self.n_rows == 0:
+            # fully-simplified systems (every constraint eliminated)
+            # are vacuously satisfied
+            return jnp.ones((B,), bool), jnp.zeros((B,), jnp.int32)
         z_mont = jf.to_mont(z)
         az = self._matvec(0, z_mont)
         bz = self._matvec(1, z_mont)

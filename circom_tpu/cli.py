@@ -82,6 +82,12 @@ def build_arg_parser():
     ap.add_argument("--no_init", action="store_true",
                     help="do not initialize vars to 0")
     ap.add_argument("--sanity_check", type=int, default=2, choices=[0, 1, 2, 3])
+    ap.add_argument("--while_max_unroll", type=int, default=64,
+                    metavar="N",
+                    help="unroll bound for data-dependent while loops "
+                         "on the TPU witness path when the trip count "
+                         "cannot be derived statically (T3013 fires if "
+                         "a witness exceeds it)")
     ap.add_argument("--use_old_simplification_heuristics",
                     action="store_true")
     ap.add_argument("--parallel", action="store_true",
@@ -170,7 +176,7 @@ def main(argv=None):
         print(f"written successfully: {path}")
     if args.inputs:
         # reference hidden flag: log_inputs.txt (input_user.rs:397-585)
-        tape, layout = cc.build_tape()
+        tape, layout = cc.build_tape(args.while_max_unroll)
         path = os.path.join(outdir, "log_inputs.txt")
         with open(path, "w") as f:
             for (nm, dims, off) in layout:
@@ -178,7 +184,7 @@ def main(argv=None):
         print(f"written successfully: {path}")
     if args.irout:
         # reference hidden flag: IR dump — here the SSA witness tape
-        tape, _ = cc.build_tape()
+        tape, _ = cc.build_tape(args.while_max_unroll)
         path = os.path.join(outdir, f"{name}.ir.txt")
         with open(path, "w") as f:
             for i3 in range(len(tape.ops)):
@@ -218,7 +224,7 @@ def main(argv=None):
             batch_inputs = json.load(f)
         if isinstance(batch_inputs, dict):
             batch_inputs = [batch_inputs]
-        tape, layout = cc.build_tape()
+        tape, layout = cc.build_tape(args.while_max_unroll)
         # bit-constrained main inputs feed the narrow int32 lane
         # automatically (pipeline.input_range_hints)
         hints = cc.input_range_hints()

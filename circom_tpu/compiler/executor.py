@@ -1499,9 +1499,18 @@ class Executor:
         iterations for some batch element (silent truncation would
         otherwise produce a wrong witness).  Signals cannot be assigned
         under an unknown condition (unknown/known analysis), so only
-        vars merge."""
+        vars merge.
+
+        When the condition contains a conjunct bounded by a monotone
+        counter (`i < k` with known start/bound and unconditional
+        positive increments — the common circomlib bigint pattern),
+        the trip count is DERIVED and the loop unrolls exactly that
+        many iterations with no guard."""
+        derived = self._derive_trip_bound(s, frame)
+        bound = self.while_max_unroll if derived is None \
+            else min(derived, self.while_max_unroll)
         active = cond
-        for _ in range(self.while_max_unroll):
+        for _ in range(bound):
             snapshot = _snapshot_scopes(frame)
             frame.unknown_depth += 1
             try:
@@ -1515,7 +1524,120 @@ class Executor:
             active = self.domain.infix("&&", active, cond2, s.meta)
             if self.domain.as_cond(active) is False:
                 return
+        if derived is not None and derived <= self.while_max_unroll:
+            # proof: any element active through `derived` iterations
+            # has advanced its counter past the bound, so the counter
+            # conjunct (and hence `active`) is false — no guard needed
+            return
         self.tape_guards.append(active)
+
+    def _derive_trip_bound(self, s: A.While, frame):
+        """Static trip count from a counter-bounded conjunct, or None.
+
+        Looks for a conjunct `i < K` / `i <= K` / `K > i` / `K >= i` of
+        the loop condition where: `i` is a plain scalar var whose
+        CURRENT value is a known integer; `K` evaluates to a known
+        integer; and every assignment to `i` anywhere in the body is an
+        UNCONDITIONAL top-level `i = i + c` (or `i += c` / `i++`, both
+        already desugared to that form) with a known constant c > 0.
+        Each iteration then advances `i` by the (summed) increment, so
+        at most ceil((K - i0 [+1 for <=]) / inc) iterations can keep
+        the conjunct true.  Values are compared via the signed
+        convention; derivation bails if the counter walk could leave
+        the signed-safe range (wraparound)."""
+        half = self.hf.p >> 1
+
+        def conjuncts(e):
+            if isinstance(e, A.Infix) and e.op == A.BOOL_AND:
+                yield from conjuncts(e.lhe)
+                yield from conjuncts(e.rhe)
+            else:
+                yield e
+
+        def plain_var(e):
+            return e.name if isinstance(e, A.Variable) and not e.access \
+                else None
+
+        def signed(v):
+            return v - self.hf.p if v > half else v
+
+        def known(e):
+            v = self.domain.known_int(self._eval(e, frame))
+            return None if v is None else signed(v)
+
+        def body_increment(name):
+            """Summed per-iteration increment of var `name`, or None if
+            any write is conditional/nested or not inc-by-positive-
+            const.  Only top-level statements of the body block are
+            unconditional; a write found deeper bails."""
+            def nested_writes(st):
+                if isinstance(st, A.Substitution) and st.var == name:
+                    return True
+                return any(nested_writes(c) for c in _child_stmts(st))
+
+            top_writes = []
+            body = s.stmt
+            stmts = body.stmts if isinstance(body, A.Block) else [body]
+            for st in stmts:
+                if isinstance(st, A.Substitution) and st.var == name:
+                    if st.access or st.op != A.AssignOp.VAR:
+                        return None
+                    top_writes.append(st)
+                elif nested_writes(st):
+                    return None
+            if not top_writes:
+                return None
+            inc = 0
+            for w in top_writes:
+                r = w.rhe
+                if not (isinstance(r, A.Infix) and r.op == A.ADD):
+                    return None
+                if plain_var(r.lhe) == name and isinstance(r.rhe, A.Number):
+                    c = signed(r.rhe.value % self.hf.p)
+                elif plain_var(r.rhe) == name \
+                        and isinstance(r.lhe, A.Number):
+                    c = signed(r.lhe.value % self.hf.p)
+                else:
+                    return None
+                if c <= 0:
+                    return None
+                inc += c
+            return inc
+
+        best = None
+        for part in conjuncts(s.cond):
+            if not isinstance(part, A.Infix):
+                continue
+            if part.op in (A.LT, A.LEQ):
+                v, bnd, le = plain_var(part.lhe), part.rhe, \
+                    part.op == A.LEQ
+            elif part.op in (A.GT, A.GEQ):
+                v, bnd, le = plain_var(part.rhe), part.lhe, \
+                    part.op == A.GEQ
+            else:
+                continue
+            if v is None:
+                continue
+            slc = frame.lookup_var(v)
+            if slc is None or slc.dims:
+                continue
+            cur = slc.values[0]
+            ci = None if cur is None else self.domain.known_int(cur)
+            i0 = None if ci is None else signed(ci)
+            k = known(bnd)
+            if i0 is None or k is None:
+                continue
+            inc = body_increment(v)
+            if inc is None:
+                continue
+            span = k - i0 + (1 if le else 0)
+            trips = max(0, -(-span // inc))
+            # signed-safety: the counter must stay in the signed range
+            # across the walk (no wraparound past p/2)
+            if i0 + trips * inc > half:
+                continue
+            best = trips if best is None else min(best, trips)
+        return best
 
     def _exec_log(self, s: A.LogCall, frame):
         parts = []
@@ -1817,6 +1939,20 @@ def _map_constraint(c, corr):
         return out
 
     return alg.Constraint(m(c.a), m(c.b), m(c.c))
+
+
+def _child_stmts(st):
+    """Direct child statements (for nested-write detection)."""
+    if isinstance(st, A.Block):
+        return list(st.stmts)
+    if isinstance(st, A.InitializationBlock):
+        return list(st.initializations)
+    if isinstance(st, A.IfThenElse):
+        return [st.if_case] + (
+            [st.else_case] if st.else_case is not None else [])
+    if isinstance(st, A.While):
+        return [st.stmt]
+    return []
 
 
 def _snapshot_scopes(frame):

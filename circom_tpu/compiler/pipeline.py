@@ -152,10 +152,13 @@ class CompiledCircuit:
             return full
         return [full[old] for old in self.simplified.witness_as_vec()]
 
-    def build_tape(self):
+    def build_tape(self, while_max_unroll: int = 64):
         """Flatten the witness computation to an SSA tape (TPU path).
 
         Tape outputs are the FINAL witness (simplification-compacted).
+        ``while_max_unroll``: unroll bound for data-dependent while
+        loops whose trip count cannot be derived statically (CLI
+        --while_max_unroll; executor._exec_while_predicated).
         """
         tape = Tape(self.p)
         main_node = self.dag.nodes[self.main_node_id]
@@ -174,7 +177,7 @@ class CompiledCircuit:
                 inputs[name] = Slice((n,), refs)
                 idx += n
         ex = Executor(self.archive, "tape", tape=tape, dag=self.dag,
-                      memo=self.memo)
+                      memo=self.memo, while_max_unroll=while_max_unroll)
         ex.run_witness(inputs)
         full = self._assemble(ex.instances_by_path, const_one=1)
         refs = self._select_witness(full)

@@ -217,3 +217,88 @@ def test_dynamic_shift_pow_circuit():
         w = cc.witness_host({"a": x, "k": k})
         got = [limbs_to_int(out[i, :, j]) for i in range(out.shape[0])]
         assert got == list(w), f"case {j}"
+
+
+def _digit_loop(cond, n=5):
+    return f"""
+pragma circom 2.0.0;
+template T() {{
+    signal input a;
+    signal output o;
+    var x = a;
+    var i = 0;
+    var acc = 0;
+    while ({cond}) {{
+        acc = acc + (x % 10);
+        x = x \\ 10;
+        i = i + 1;
+    }}
+    o <-- acc;
+    o * 0 === 0;
+}}
+component main = T();
+"""
+
+
+def test_derived_trip_bound_unrolls_exactly():
+    """A `i < k` conjunct with known start/bound and an unconditional
+    unit increment derives the trip count: the loop unrolls exactly k
+    iterations (not while_max_unroll) and needs NO runtime guard
+    (VERDICT r2 item 5)."""
+    cc = compile_source(_digit_loop("x > 0 && i < 5"), prime="goldilocks")
+    t64, _ = cc.build_tape()                    # default bound 64
+    assert t64.n_guards == 0
+    assert t64.ops.count("mod") == 5            # one x%10 per iteration
+    t5, _ = cc.build_tape(while_max_unroll=5)
+    assert len(t5.ops) == len(t64.ops)          # bound didn't matter
+    # mirrored comparison and <= derive too
+    tm, _ = compile_source(_digit_loop("5 > i && x > 0"),
+                           prime="goldilocks").build_tape()
+    assert tm.n_guards == 0 and tm.ops.count("mod") == 5
+    tle, _ = compile_source(_digit_loop("x > 0 && i <= 4"),
+                            prime="goldilocks").build_tape()
+    assert tle.n_guards == 0 and tle.ops.count("mod") == 5
+
+
+def test_underived_loop_uses_flag_bound_and_guard():
+    """No counter conjunct -> while_max_unroll applies and the runtime
+    guard rides the tape (the T3013 contract)."""
+    cc = compile_source(_digit_loop("x > 0"), prime="goldilocks")
+    t7, _ = cc.build_tape(while_max_unroll=7)
+    assert t7.n_guards == 1
+    assert t7.ops.count("mod") == 7
+    # conditional increments must NOT derive (element may stall active)
+    src = _digit_loop("x > 0 && i < 5").replace(
+        "i = i + 1;", "if (x > 9) { i = i + 1; }")
+    tc, _ = compile_source(src, prime="goldilocks").build_tape(
+        while_max_unroll=9)
+    assert tc.n_guards == 1 and tc.ops.count("mod") == 9
+
+
+def test_derived_bound_witness_parity():
+    """Derived-bound loop still computes correct witnesses batched."""
+    cc = compile_source(_digit_loop("x > 0 && i < 5"), prime="goldilocks")
+    tape, _ = cc.build_tape()
+    spec = field_spec("goldilocks")
+    prog = WitnessProgram(tape, spec, unroll_threshold=0)
+    cols = [[98765, 3, 120450, 99999]]
+    out = np.asarray(prog.run(prog.encode_inputs(cols)))
+    for j, x in enumerate(cols[0]):
+        w = cc.witness_host({"a": x})
+        got = [limbs_to_int(out[i, :, j]) for i in range(out.shape[0])]
+        assert got == list(w)
+
+
+def test_cli_while_max_unroll_flag(tmp_path):
+    """The flag the T3013 message names exists and changes the bound."""
+    import json as _json
+    from circom_tpu.cli import main as cli_main
+
+    circ = tmp_path / "loop.circom"
+    circ.write_text(_digit_loop("x > 0"))
+    inp = tmp_path / "in.json"
+    inp.write_text(_json.dumps([{"a": 10**30}]))  # 31 digits
+    rc = cli_main([str(circ), "--prime", "bn128", "-o", str(tmp_path),
+                   "--witness-tpu", str(inp), "--while_max_unroll", "4",
+                   "--sanity_check", "0"])
+    assert rc == 1  # guard fires: 31 digits > 4 unrolls -> T3013
