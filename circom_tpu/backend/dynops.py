@@ -128,4 +128,6 @@ def lower_dynamic_ops(tape: Tape) -> Tape:
     t.n_inputs = max(t.n_inputs, tape.n_inputs)
     t.outputs = [new[o].id for o in tape.outputs]
     t.n_guards = tape.n_guards
+    t.node_hints = {new[i].id: h for i, h in tape.node_hints.items()
+                    if i in new}
     return t

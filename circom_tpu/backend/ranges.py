@@ -17,9 +17,18 @@ the signed int *be* the compared value, so comparisons are plain int
 compares.  Bitwise ops and shifts require proven-nonnegative operands
 (the canonical value equals the int).
 
-Inputs default to wide; signals tagged `binary` / valued `maxbit`
-narrow them (tags are the circuit author's range assertions — the same
-information the reference exports for downstream provers).
+Three hint sources narrow beyond pure dataflow:
+
+* main-input hints derived from the circuit's OWN constraints — bit
+  constraints x(x-1)=0 and Num2Bits-style decompositions
+  (pipeline.input_range_hints; validated host-side by the CLI);
+* `binary` / valued-`maxbit` signal TAGS recorded per tape node by the
+  executor (tape.node_hints) — the author's range assertions, the
+  same information the reference exports for downstream provers; a
+  violated tag voids the contract (the reference documents tags as
+  unchecked assertions);
+* the GadgetSharpener below, which recovers exact {0,1} ranges of
+  quadratic bit gadgets that interval arithmetic loses.
 """
 
 NARROW_MAX = (1 << 31) - 1
@@ -230,8 +239,17 @@ def analyze_ranges(tape, input_ranges=None):
                     else tape.imms[i] - p)
                    if tape.ops[i] == "const" else None),
         rng, ring_muls={"mul"})
+    # tag-asserted node ranges (executor._tag_range_hint): intersect
+    # with the computed interval right after each node's transfer so
+    # downstream bounds see the sharpened range in the same pass
+    node_hints = getattr(tape, "node_hints", None) or {}
     for i in range(n):
         _tx(i)
+        h = node_hints.get(i)
+        if h is not None:
+            r = rng[i]
+            rng[i] = h if r is None else (max(r[0], h[0]),
+                                          min(r[1], h[1]))
         sh.visit(i)
 
     return rng
@@ -252,6 +270,11 @@ def narrow_nodes(tape, input_ranges=None):
     """
     rng = analyze_ranges(tape, input_ranges)
     narrow = set()
+    # NOTE: operand eligibility checks use MEMBERSHIP in `narrow`, not
+    # rng: tag hints (tape.node_hints) can range a node whose op has
+    # no narrow form (e.g. a tagged div output) — such a node's range
+    # still sharpens downstream intervals, but it lives in the wide
+    # register file, so no narrow op may consume it directly.
     for i in range(len(tape.ops)):
         if rng[i] is None:
             continue
@@ -265,25 +288,25 @@ def narrow_nodes(tape, input_ranges=None):
         args = tape.args[i]
         if op == "band":
             # allowed: both narrow, or wide & small-const
-            if all(rng[x] is not None for x in args) or any(
+            if all(x in narrow for x in args) or any(
                     tape.ops[x] == "const"
                     and tape.imms[x] <= NARROW_MAX for x in args):
                 narrow.add(i)
             continue
         if op == "select":
-            if all(rng[x] is not None for x in args[1:]):
+            if all(x in narrow for x in args[1:]):
                 narrow.add(i)  # cond handled wide or narrow in-kernel
             continue
         if op in ("add", "sub", "mul", "neg", "bor", "bxor",
                   "shl_k", "shr_k"):
-            if all(rng[x] is not None for x in args):
+            if all(x in narrow for x in args):
                 narrow.add(i)
             continue
         if op == "idiv":
             # int32 division is only exact for NONNEG canonical
             # operands (analyze_ranges already requires that to
             # produce a range here)
-            if all(rng[x] is not None and rng[x][0] >= 0 for x in args):
+            if all(x in narrow and rng[x][0] >= 0 for x in args):
                 narrow.add(i)
             continue
     return narrow, rng

@@ -47,6 +47,10 @@ class Tape:
         self.n_inputs = 0
         self.outputs: list[int] = []     # node ids in witness order
         self.n_guards = 0    # trailing outputs = while-unroll guards
+        # node id -> (lo, hi) signed range asserted by signal TAGS
+        # (binary / valued maxbit, recorded by the executor); author
+        # assertions, same contract as the reference's exported tags
+        self.node_hints = {}
 
     def __len__(self):
         return len(self.ops)

@@ -1068,6 +1068,19 @@ class Executor:
                 )
             decl.assigned.values[start + j] = True
             decl.slice.values[start + j] = vals[j]
+            if self.mode == "tape" and decl.tag_values \
+                    and isinstance(vals[j], TapeRef):
+                # binary / valued-maxbit tags narrow the stored tape
+                # node: tags are the author's exported range assertions
+                # (reference tags docs; wire_data.rs carries them for
+                # downstream provers), the same contract under which
+                # the reference's emitted runtimes compute
+                hint = _tag_range_hint(decl.tag_values)
+                if hint is not None:
+                    nid = vals[j].id
+                    old = self.tape.node_hints.get(nid)
+                    self.tape.node_hints[nid] = hint if old is None \
+                        else (max(old[0], hint[0]), min(old[1], hint[1]))
             if self.mode == "constrain" and op == A.AssignOp.CONSTRAINT:
                 # reference convention: the constraint expression is
                 # lhs - rhs (perform_assign builds signal - value), so
@@ -1939,6 +1952,20 @@ def _map_constraint(c, corr):
         return out
 
     return alg.Constraint(m(c.a), m(c.b), m(c.c))
+
+
+def _tag_range_hint(tag_values):
+    """Signed range asserted by a wire's tags, or None.
+
+    `binary` (valueless, circomlib convention) asserts {0,1}; a valued
+    `maxbit` tag asserts [0, 2^maxbit); only int32-useful widths are
+    recorded (the narrow lane cannot exploit wider ones)."""
+    if "binary" in tag_values:
+        return (0, 1)
+    v = tag_values.get("maxbit")
+    if isinstance(v, int) and 0 <= v <= 31:
+        return (0, (1 << v) - 1)
+    return None
 
 
 def _child_stmts(st):

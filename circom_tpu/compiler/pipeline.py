@@ -245,13 +245,64 @@ class CompiledCircuit:
         smap = (None if self.simplified is None
                 else self.simplified.signal_map)
         wire_of = [g if smap is None else smap.get(g) for g in gid_of]
+        rows = self.r1cs_rows()
         bits = set()
-        for (a, b, c) in self.r1cs_rows():
+        for (a, b, c) in rows:
             s = _bit_constraint_signal(a, b, c, self.hf)
             if s is not None:
                 bits.add(s)
-        return {flat: (0, 1) for flat, w in enumerate(wire_of)
-                if w is not None and w in bits}
+        hints = {flat: (0, 1) for flat, w in enumerate(wire_of)
+                 if w is not None and w in bits}
+        # Num2Bits-style decompositions: a LINEAR constraint tying one
+        # non-bit wire w to bit-constrained wires,
+        #   c_w*w + sum(c_j*b_j) + c0 = 0  =>  w = e + sum(d_j*b_j),
+        # gives w the exact interval hull over b_j in {0,1} — e.g. a
+        # byte-valued input checked by Num2Bits(8) proves (0, 255).
+        # Sound for the same reason as the bit hints: the equation
+        # holds in every VALID witness, and an int32 hull lies well
+        # inside (-p/2, p/2) so the signed representative IS the value.
+        NM = (1 << 31) - 1
+        p = self.hf.p
+        half = p >> 1
+
+        def signed(v):
+            return v - p if v > half else v
+
+        deco = {}
+        for (a, b, c) in rows:
+            if a or b:
+                continue
+            others = [w for w in c if w != CONST and w not in bits]
+            if len(others) != 1:
+                continue
+            w = others[0]
+            try:
+                inv = (-pow(c[w], -1, p)) % p
+            except ValueError:
+                continue
+            lo = hi = signed((c.get(CONST, 0) * inv) % p)
+            ok = True
+            for bw, cv in c.items():
+                if bw == CONST or bw == w:
+                    continue
+                s = signed((cv * inv) % p)
+                if abs(s) > NM:
+                    ok = False
+                    break
+                lo += min(0, s)
+                hi += max(0, s)
+            if not ok or lo < -NM or hi > NM:
+                continue
+            old = deco.get(w)
+            deco[w] = (lo, hi) if old is None else (max(old[0], lo),
+                                                    min(old[1], hi))
+        for flat, w in enumerate(wire_of):
+            if flat in hints or w is None or w not in deco:
+                continue
+            lo, hi = deco[w]
+            if lo <= hi:
+                hints[flat] = (lo, hi)
+        return hints
 
     def _assemble(self, instances_by_path, const_one):
         """Collect witness values in O0 global order ([0]=1, then DFS)."""

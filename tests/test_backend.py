@@ -309,3 +309,106 @@ component main = T();
         from circom_tpu.ops.limbs import limbs_to_int
         got = [limbs_to_int(out[i, :, j]) for i in range(prog.n_witness)]
         assert got == list(w)
+
+
+def test_input_range_hints_from_num2bits_decomposition():
+    """A byte-valued input checked by a Num2Bits(8)-style decomposition
+    (x = sum 2^i * b_i with every b_i bit-constrained) gets an exact
+    (0, 255) hint with NO hand annotation (VERDICT r2 item 6)."""
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input x;
+    signal input w;    // unconstrained: no hint
+    signal output out;
+    signal b[8];
+    var lc = 0;
+    for (var i = 0; i < 8; i++) {
+        b[i] <-- (x >> i) & 1;
+        b[i] * (b[i] - 1) === 0;
+        lc += b[i] * 2**i;
+    }
+    lc === x;
+    out <== x * w;
+}
+component main = T();
+"""
+    cc = compile_source(src, prime="goldilocks")
+    hints = cc.input_range_hints()
+    assert hints[0] == (0, 255)
+    assert 1 not in hints
+    # the interpreter plans the byte input on the narrow int32 lane
+    from circom_tpu.backend.jax_backend import WitnessProgram as WP
+
+    tape, _ = cc.build_tape()
+    spec = field_spec("goldilocks")
+    prog = WP(tape, spec, unroll_threshold=0, mode="interp",
+              input_ranges=hints)
+    assert 0 in prog.fused.nin_of and 1 in prog.fused.win_of
+    import numpy as np
+
+    out = np.asarray(prog.run(prog.encode_inputs([[200, 0, 255],
+                                                  [7, 9, spec.p - 1]])))
+    from circom_tpu.ops.limbs import limbs_to_int
+
+    for j, (x, w) in enumerate([(200, 7), (0, 9), (255, spec.p - 1)]):
+        exp = cc.witness_host({"x": x, "w": w})
+        got = [limbs_to_int(out[i, :, j]) for i in range(out.shape[0])]
+        assert got == list(exp)
+
+
+def test_tag_hints_narrow_blown_hull():
+    """A valued maxbit tag narrows a node whose interval hull exceeds
+    int32 (the author's assertion supplies what dataflow cannot);
+    recorded per tape node by the executor, honored by ranges.py."""
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input x;
+    signal output o;
+    signal {maxbit} t;
+    t.maxbit = 8;
+    t <-- (x & 65535) * (x & 65535);
+    o <== t + 1;
+}
+component main = T();
+"""
+    cc = compile_source(src, prime="goldilocks")
+    tape, _ = cc.build_tape()
+    assert any(h == (0, 255) for h in tape.node_hints.values())
+    from circom_tpu.backend.ranges import narrow_nodes
+
+    nset, rng = narrow_nodes(tape)
+    # the tagged product node is narrow despite its 2^32 hull
+    hinted = [i for i, h in tape.node_hints.items() if h == (0, 255)]
+    assert all(i in nset for i in hinted)
+    # honest inputs (value <= 255 -> x & 65535 <= 15): host parity
+    from circom_tpu.backend.jax_backend import WitnessProgram as WP
+    import numpy as np
+
+    spec = field_spec("goldilocks")
+    prog = WP(tape, spec, unroll_threshold=0, mode="interp")
+    out = np.asarray(prog.run(prog.encode_inputs([[3, 15, 0]])))
+    from circom_tpu.ops.limbs import limbs_to_int
+
+    for j, x in enumerate([3, 15, 0]):
+        exp = cc.witness_host({"x": x})
+        got = [limbs_to_int(out[i, :, j]) for i in range(out.shape[0])]
+        assert got == list(exp)
+
+
+def test_binary_tag_hint_recorded():
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input x;
+    signal output o;
+    signal {binary} b;
+    b <-- x & 1;
+    o <== b * x;
+}
+component main = T();
+"""
+    cc = compile_source(src, prime="goldilocks")
+    tape, _ = cc.build_tape()
+    assert (0, 1) in tape.node_hints.values()
