@@ -130,4 +130,11 @@ def lower_dynamic_ops(tape: Tape) -> Tape:
     t.n_guards = tape.n_guards
     t.node_hints = {new[i].id: h for i, h in tape.node_hints.items()
                     if i in new}
+    t.extern_calls = [
+        {**call,
+         "inputs": {name: [(tag, v if tag == "const" else new[v].id)
+                           for (tag, v) in elems]
+                    for name, elems in call["inputs"].items()}}
+        for call in tape.extern_calls
+    ]
     return t

@@ -239,6 +239,13 @@ def main(argv=None):
             # would otherwise catch a violation is off — an out-of-
             # range input must fail loudly, never emit a wrong .wtns
             _check_hinted_columns(cols, hints, cc.p, layout)
+            if tape.extern_calls:
+                # extern_c gates with registered implementations:
+                # evaluate host-side per batch column, splice the
+                # output columns into the device inputs
+                from .backend.tape import compute_extern_columns
+
+                compute_extern_columns(tape, cols, cc.hf)
         except (Report, ReportCollection) as r:
             _print_reports(r, cc.archive.file_library)
             return 1

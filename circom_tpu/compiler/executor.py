@@ -558,6 +558,38 @@ class Executor:
             decl.slice.values[:] = [int(x) % self.hf.p for x in vals]
             decl.assigned.values[:] = [True] * len(vals)
 
+    def _apply_extern_tape(self, child, cs, inputs):
+        """Tape-mode extern_c: the gate's outputs become fresh tape
+        input slots, and the call recipe (input node ids per signal,
+        output slot indices) is recorded in ``tape.extern_calls`` for
+        the host-side splice at run time."""
+        in_desc = {}
+        for name, slc in inputs.items():
+            elems = []
+            for v in slc.values:
+                if isinstance(v, int):
+                    elems.append(("const", v))
+                else:
+                    elems.append(("node", v.id))
+            in_desc[name] = elems
+        out_slots = {}
+        for name, decl in child.signals.items():
+            if decl.xtype != A.SignalType.OUTPUT:
+                continue
+            slots = []
+            for j in range(len(decl.slice.values)):
+                idx = self.tape.n_inputs
+                decl.slice.values[j] = self.tape.input(idx)
+                decl.assigned.values[j] = True
+                slots.append(idx)
+            out_slots[name] = slots
+        self.tape.extern_calls.append({
+            "template": cs.template,
+            "params": list(cs.params),
+            "inputs": in_desc,
+            "out_slots": out_slots,
+        })
+
     def _run_witness_body(self, inst: ComponentState, input_values, path):
         tmpl = self.archive.templates[inst.template]
         frame = Frame("template", inst.template)
@@ -1404,14 +1436,14 @@ class Executor:
                 self._apply_extern_impl(child, cs, impl, inputs)
             elif self.mode == "tape":
                 # a registered extern implementation is authoritative
-                # for outputs (reference extern_c linkage); silently
-                # executing the template body instead would make the
-                # TPU path diverge from the host path — fail loudly so
-                # the caller falls back to the host calculator
-                raise NotImplementedError(
-                    f"extern_c template '{cs.template}' has a registered "
-                    "host implementation; the tape path cannot apply it "
-                    "(use the host witness calculator)")
+                # for outputs (reference extern_c linkage,
+                # c_code_generator.rs:514-545).  On the batched TPU
+                # path its outputs become EXTRA TAPE INPUT slots: the
+                # runner evaluates the gate's input nodes host-side
+                # per batch column, calls the implementation, and
+                # splices the output columns into the device inputs
+                # (backend/tape.py compute_extern_columns)
+                self._apply_extern_tape(child, cs, inputs)
         self._witness_path = saved
         # splice child's computed signals into the parent-facing state
         for name, decl in child.signals.items():
