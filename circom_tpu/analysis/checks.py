@@ -173,10 +173,13 @@ class Analyzer:
                             "template call inside a function", "T2022",
                             e.meta,
                         )
-                else:
-                    # UndefinedFunction T2001 / UndefinedTemplate T2002
+                elif e.id not in self.archive.buses:
+                    # UndefinedFunction (error_code.rs T2001): a call in
+                    # expression position; unknown TEMPLATES surface at
+                    # instantiation (T20461), bus calls resolve by the
+                    # symbol table (same surface syntax)
                     self.error(
-                        f"unknown function or template '{e.id}'", "T2002",
+                        f"unknown function or template '{e.id}'", "T2001",
                         e.meta,
                     )
             elif isinstance(e, A.BusCall):
@@ -194,8 +197,9 @@ class Analyzer:
         def fn(e):
             if isinstance(e, A.Variable) and e.name != "_":
                 if e.name not in declared and e.name not in known_globals:
+                    # NonExistentSymbol (error_code.rs T2021)
                     self.error(
-                        f"undeclared symbol '{e.name}'", "T2005", e.meta)
+                        f"undeclared symbol '{e.name}'", "T2021", e.meta)
 
         self._walk_exprs_in(body, fn)
 
@@ -203,21 +207,49 @@ class Analyzer:
             if isinstance(st, A.Substitution) and st.var != "_":
                 if st.var not in declared and st.var not in known_globals:
                     self.error(
-                        f"undeclared symbol '{st.var}'", "T2005", st.meta)
+                        f"undeclared symbol '{st.var}'", "T2021", st.meta)
 
         self._walk_stmts(body, fs)
 
     def check_template(self, t: A.Template):
         def fn(st):
             if isinstance(st, A.Return):
-                self.error("templates cannot return a value", "T2015",
+                # TemplateWithReturnStatement (error_code.rs T2024)
+                self.error("templates cannot return a value", "T2024",
                            st.meta)
 
         self._walk_stmts(t.body, fn)
+        self._check_signal_scope(t.body, in_while=False)
         self.check_calls(t.body, "template")
         self.check_undeclared(t, t.body, t.args)
         if t.is_custom_gate:
             self.check_custom_gate(t)
+
+    def _check_signal_scope(self, s, in_while):
+        """SignalOutsideOriginalScope (error_code.rs T2011,
+        signal_declaration_analysis.rs:30-66): signal, bus and component
+        declarations are allowed in the initial scope and inside `if`
+        scopes, but never inside a `while` scope."""
+        if isinstance(s, A.Declaration) and s.xtype.kind in (
+                "signal", "bus", "component", "anonymous_component"):
+            if in_while:
+                self.error(
+                    "Signal, bus or component declaration inside While "
+                    "scope. Signals, buses and components can only be "
+                    "defined in the initial scope or in If scopes with "
+                    "known condition", "T2011", s.meta)
+        elif isinstance(s, A.Block):
+            for st in s.stmts:
+                self._check_signal_scope(st, in_while)
+        elif isinstance(s, A.InitializationBlock):
+            for st in s.initializations:
+                self._check_signal_scope(st, in_while)
+        elif isinstance(s, A.IfThenElse):
+            self._check_signal_scope(s.if_case, in_while)
+            if s.else_case is not None:
+                self._check_signal_scope(s.else_case, in_while)
+        elif isinstance(s, A.While):
+            self._check_signal_scope(s.stmt, True)
 
     def check_custom_gate(self, t: A.Template):
         # codes match custom_gate_analysis.rs + parser/lib.rs:131
@@ -294,9 +326,10 @@ class Analyzer:
         self.check_calls(f.body, "function")
         self.check_undeclared(f, f.body, f.args)
         if not self._all_paths_return(f.body):
+            # FunctionPathWithoutReturn (error_code.rs T2014)
             self.error(
                 f"all execution paths of function '{f.name}' must end "
-                "with a return statement", "T2015", f.meta,
+                "with a return statement", "T2014", f.meta,
             )
 
     def _all_paths_return(self, s) -> bool:

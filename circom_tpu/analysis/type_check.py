@@ -36,6 +36,8 @@ from .reach import reachable_definitions
 
 _MSG = {
     "T2044": "must be a single arithmetic expression",
+    "T2025": "types can't be used as conditions",
+    "T2027": "prefix operator with wrong types",
     "T2028": "infix operator with wrong types",
     "T2032": "array access does not match the dimensions of the expression",
     "T2019": "non compatible types in the branches of the expression",
@@ -258,19 +260,20 @@ class TypeCheck:
             return self._type_variable(e, scope, rep)
         if isinstance(e, (A.Infix, A.Prefix)):
             operands = [e.lhe, e.rhe] if isinstance(e, A.Infix) else [e.rhe]
+            opc = "T2028" if isinstance(e, A.Infix) else "T2027"
             for x in operands:
                 t = self._type_expr(x, scope, quiet)
                 if t is None:
                     continue
                 if t[0] != "a":
-                    rep("T2028", e.meta)
+                    rep(opc, e.meta)
                 elif t[1] != 0:
-                    rep("T2044", x.meta if hasattr(x, "meta") else e.meta)
+                    rep(opc, x.meta if hasattr(x, "meta") else e.meta)
             return _arith(0)
         if isinstance(e, A.TernarySwitch):
             tc = self._type_expr(e.cond, scope, quiet)
             if tc is not None and (tc[0] != "a" or tc[1] != 0):
-                rep("T2044", e.cond.meta)
+                rep("T2025", e.cond.meta)
             t1 = self._type_expr(e.if_true, scope, quiet)
             t2 = self._type_expr(e.if_false, scope, quiet)
             if t1 is not None and t2 is not None and t1[0] == "a" \
@@ -463,7 +466,7 @@ class TypeCheck:
         if isinstance(s, A.IfThenElse):
             t = self._type_expr(s.cond, scope)
             if t is not None and (t[0] != "a" or t[1] != 0):
-                self.error("T2044", s.cond.meta)
+                self.error("T2025", s.cond.meta)
             self._check_stmt(s.if_case, scope, in_function, rets)
             if s.else_case is not None:
                 self._check_stmt(s.else_case, scope, in_function, rets)
@@ -471,7 +474,7 @@ class TypeCheck:
         if isinstance(s, A.While):
             t = self._type_expr(s.cond, scope)
             if t is not None and (t[0] != "a" or t[1] != 0):
-                self.error("T2044", s.cond.meta)
+                self.error("T2025", s.cond.meta)
             self._check_stmt(s.stmt, scope, in_function, rets)
             return
         if isinstance(s, A.Return):

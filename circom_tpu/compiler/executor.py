@@ -382,8 +382,10 @@ class Executor:
         """Execute the main call -> populated DAG (pass 1)."""
         call = self.archive.main.call
         if not isinstance(call, A.Call):
-            raise err("main component must be a template call", "T2001")
-        params = [self._expect_known_arg(self._eval(a, self._dummy_frame()))
+            raise err("main component must be a template call", "T2063",
+                      getattr(call, "meta", None))
+        params = [self._expect_known_arg(
+                      self._eval(a, self._dummy_frame()), a.meta)
                   for a in call.args]
         node_id = self.execute_template(
             call.id, params, {}, public=self.archive.main.public,
@@ -414,12 +416,19 @@ class Executor:
         f = Frame("function", "<main>")
         return f
 
-    def _expect_known_arg(self, v):
+    def _expect_known_arg(self, v, meta=None):
         if isinstance(v, Slice):
-            return Slice(v.dims, [self._expect_known_arg(x) for x in v.values])
+            return Slice(v.dims,
+                         [self._expect_known_arg(x, meta)
+                          for x in v.values])
+        if isinstance(v, (TemplateClosure, BusClosure)):
+            # InvalidArgumentInCall (error_code.rs T2029)
+            raise err("template or bus instances cannot be used as "
+                      "arguments", "T2029", meta)
         k = self.domain.known_int(v)
         if k is None:
-            raise err("main parameters must be constants", "T2002")
+            raise err("main parameters must be constants", "T20464",
+                      meta)
         return k
 
     # -- memoization key ------------------------------------------------
@@ -441,7 +450,7 @@ class Executor:
     def execute_template(self, name, params, input_tags, public=(), meta=None):
         """Execute (or reuse) a template instance; returns DAG node id."""
         if name not in self.archive.templates:
-            raise err(f"unknown template '{name}'", "T2007", meta)
+            raise err(f"unknown template '{name}'", "T20461", meta)
         key = self._memo_key(name, params, input_tags)
         hit = self.memo.get(key)
         if hit is not None:
@@ -450,7 +459,7 @@ class Executor:
         if len(params) != len(tmpl.args):
             raise err(
                 f"template {name} expects {len(tmpl.args)} parameters, "
-                f"got {len(params)}", "T2005", meta,
+                f"got {len(params)}", "T20465", meta,
             )
         frame = Frame("template", name)
         frame.builder = InstanceBuilder(name, params, public)
@@ -476,7 +485,7 @@ class Executor:
                 if cs is not None and cs.instantiated and cs.inputs_remaining > 0:
                     raise err(
                         f"component '{cname}' has unassigned inputs "
-                        f"({cs.inputs_remaining} left)", "T2046", meta,
+                        f"({cs.inputs_remaining} left)", "T20466", meta,
                     )
 
     def _insert_in_dag(self, frame, tmpl):
@@ -549,11 +558,11 @@ class Executor:
             if decl is None or decl.xtype != A.SignalType.OUTPUT:
                 raise err(
                     f"extern_c implementation of '{cs.template}' returned "
-                    f"unknown output '{name}'", "T2016", None)
+                    f"unknown output '{name}'", "T2038", None)
             vals = v if isinstance(v, (list, tuple)) else [v]
             if len(vals) != len(decl.slice.values):
                 raise err(
-                    f"extern_c output '{name}' size mismatch", "T2019",
+                    f"extern_c output '{name}' size mismatch", "T2045",
                     None)
             decl.slice.values[:] = [int(x) % self.hf.p for x in vals]
             decl.assigned.values[:] = [True] * len(vals)
@@ -655,9 +664,9 @@ class Executor:
             self._exec_assert(s, frame)
         elif isinstance(s, A.MultSubstitution):
             raise err("tuples/anonymous components not yet desugared",
-                      "T2050", m)
+                      "TAC02", m)
         elif isinstance(s, A.AnonymousCompStmt):
-            raise err("anonymous components not yet desugared", "T2050", m)
+            raise err("anonymous components not yet desugared", "TAC01", m)
         elif isinstance(s, A.UnderscoreSubstitution):
             parts = (s.rhe.values if isinstance(s.rhe, A.TupleExpr)
                      else [s.rhe])
@@ -665,15 +674,23 @@ class Executor:
                 v = self._eval(part, frame)
                 self._record_underscore(v, frame)
         else:
-            raise err(f"unsupported statement {type(s).__name__}", "T2051", m)
+            raise err(f"unsupported statement {type(s).__name__}", "T2038", m)
 
     def _exec_declaration(self, s: A.Declaration, frame):
         kind = s.xtype.kind
         if kind == "anonymous_component":
             dims = []  # loop-counter dimension: sized on use
         else:
-            dims = [self._index_value(self._eval(d, frame), d.meta)
+            dims = [self._index_value(self._eval(d, frame), d.meta,
+                                      what="size")
                     for d in s.dimensions]
+        for d in dims:
+            if d > (1 << 32):
+                # InvalidArraySize T2033 / InvalidArraySizeB T2053:
+                # negative sizes arrive as huge canonical values
+                raise err(
+                    f"invalid array size (negative or too big: {d})",
+                    "T2053" if kind == "bus" else "T2033", s.meta)
         if kind == "var":
             frame.declare_var(s.name, Slice.filled(dims, None))
             return
@@ -681,7 +698,7 @@ class Executor:
             raise err("signals/components only allowed in templates",
                       "T2016", s.meta)
         if frame.unknown_depth:
-            raise err("declaration inside unknown condition", "T2040", s.meta)
+            raise err("declaration inside unknown condition", "T2050", s.meta)
         if kind == "signal":
             decl = SignalDecl(s.name, dims, s.xtype.signal_type, s.xtype.tags)
             if (s.xtype.signal_type == A.SignalType.INPUT
@@ -715,7 +732,7 @@ class Executor:
             if frame.builder is not None:
                 frame.builder.components.append((s.name, ()))
             return
-        raise err(f"unsupported declaration kind '{kind}'", "T2052", s.meta)
+        raise err(f"unsupported declaration kind '{kind}'", "T2038", s.meta)
 
     def _install_input_values(self, s_name, decl, frame, meta=None):
         """Witness modes: input wires get their values at declaration.
@@ -723,7 +740,7 @@ class Executor:
         preset = frame.preset_inputs or {}
         if s_name not in preset:
             raise err(f"missing value for input signal '{s_name}'",
-                      "T2044", meta)
+                      "T3011", meta)
         src = preset[s_name]
         vals = list(src.values) if isinstance(src, Slice) else [src]
         if len(vals) != decl.total_size():
@@ -750,7 +767,7 @@ class Executor:
         elif target[0] == "signal" and isinstance(target[1], PendingBus):
             if s.access or s.op != A.AssignOp.VAR:
                 raise err(f"bus '{s.var}' used before its type is set",
-                          "T2037", s.meta)
+                          "BU06", s.meta)
             v = self._eval(s.rhe, frame)
             if isinstance(v, BusClosure):
                 self._complete_bus_decl(target[1], v, frame, s.meta)
@@ -761,14 +778,18 @@ class Executor:
                 self._complete_bus_decl(target[1], v.values[0], frame,
                                         s.meta)
             else:
+                if isinstance(v, TemplateClosure):
+                    # InvalidArgumentInBusInstantiationB (BU03)
+                    raise err("buses cannot be assigned template calls",
+                              "BU03", s.meta)
                 raise err("bus must be initialized with a bus call",
-                          "T2037", s.meta)
+                          "BU06", s.meta)
         elif target[0] == "signal":
             self._assign_signal(s, target[1], frame)
         elif target[0] == "component":
             self._assign_component(s, target[1], frame)
         else:
-            raise err(f"cannot assign to '{s.var}'", "T2031", s.meta)
+            raise err(f"cannot assign to '{s.var}'", "T2038", s.meta)
 
     def _resolve_symbol(self, name, frame, meta):
         if name in frame.signals:
@@ -778,7 +799,7 @@ class Executor:
         v = frame.lookup_var(name)
         if v is not None:
             return ("var", v)
-        raise err(f"undeclared symbol '{name}'", "T2004", meta)
+        raise err(f"undeclared symbol '{name}'", "T2021", meta)
 
     def _bus_layout(self, name, params, meta):
         """Execute a bus body's declarations -> BusLayout (memoized by
@@ -794,11 +815,11 @@ class Executor:
             return hit
         bus = self.archive.buses.get(name)
         if bus is None:
-            raise err(f"unknown bus '{name}'", "T2007", meta)
+            raise err(f"unknown bus '{name}'", "T20467", meta)
         if len(params) != len(bus.args):
             raise err(
                 f"bus {name} expects {len(bus.args)} parameters, got "
-                f"{len(params)}", "T2005", meta,
+                f"{len(params)}", "BU01", meta,
             )
         frame = Frame("function", name)
         for argname, value in zip(bus.args, params):
@@ -814,7 +835,8 @@ class Executor:
                 for x in st.initializations:
                     walk(x)
             elif isinstance(st, A.Declaration):
-                dims = [self._index_value(self._eval(d, frame), st.meta)
+                dims = [self._index_value(self._eval(d, frame), st.meta,
+                                          what="size")
                         for d in st.dimensions]
                 if st.xtype.kind == "signal":
                     fields.append((st.name, tuple(dims), None))
@@ -824,24 +846,24 @@ class Executor:
                     frame.declare_var(st.name, Slice.filled(dims, None))
                 else:
                     raise err("buses may only declare signals and buses",
-                              "T2037", st.meta)
+                              "T2052", st.meta)
             elif isinstance(st, A.Substitution):
                 v = self._eval(st.rhe, frame)
                 if isinstance(v, BusClosure) and st.var in pending:
                     sub = self._bus_layout(v.name, v.params, st.meta)
                     fields.append((st.var, pending.pop(st.var), sub))
                 elif st.var in pending:
-                    raise err("bus field must be a bus call", "T2037",
+                    raise err("bus field must be a bus call", "BU06",
                               st.meta)
                 else:
                     slc = frame.lookup_var(st.var)
                     if slc is None:
                         raise err("buses may only declare signals and "
-                                  "buses", "T2037", st.meta)
+                                  "buses", "T2052", st.meta)
                     slc.set([], v, st.meta)
             elif isinstance(st, (A.While, A.IfThenElse)):
                 raise err("control flow not supported in bus bodies",
-                          "T2037", st.meta)
+                          "T2052", st.meta)
 
         walk(bus.body)
         layout = BusLayout(name, key[1], fields)
@@ -879,12 +901,12 @@ class Executor:
                     self._eval(access[i].expr, frame), meta))
                 i += 1
             if len(idxs) > len(dims):
-                raise err("too many array indices", "T2018", meta)
+                raise err("too many array indices", "T2032", meta)
             for k, ix in enumerate(idxs):
                 if not (0 <= ix < dims[k]):
                     raise err(
                         f"index {ix} out of bounds (size {dims[k]})",
-                        "T2021", meta,
+                        "T3001", meta,
                     )
             stride = unit
             for d in dims[len(idxs):]:
@@ -900,7 +922,7 @@ class Executor:
                     if dims:
                         raise err(
                             "bus array must be fully indexed before field "
-                            "access", "T2018", meta,
+                            "access", "T2032", meta,
                         )
                     off, _n, fdims, fsub = layout.field(fname)
                     start += off
@@ -913,23 +935,27 @@ class Executor:
                     return ("tag", fname)
                 raise err(
                     f"'{fname}' is not a field or tag of '{decl.name}'",
-                    "T2034", meta,
+                    "BU04", meta,
                 )
             break
         if i != len(access):
-            raise err("unsupported access pattern", "T2033", meta)
+            raise err("unsupported access pattern", "T2032", meta)
         count = unit
         for d in dims:
             count *= d
         return ("range", start, count)
 
     def _assign_var(self, s, frame):
+        if s.op != A.AssignOp.VAR:
+            # WrongTypesInAssignOperationOperatorNoSignal (T2055)
+            raise err("vars must be assigned with =, not <-- or <==",
+                      "T2055", s.meta)
         slc = frame.lookup_var(s.var)
         idx_vals = []
         dynamic = False
         for a in s.access:
             if not isinstance(a, A.ArrayAccess):
-                raise err("invalid access on var", "T2033", s.meta)
+                raise err("invalid access on var", "T2032", s.meta)
             v = self._scalar(self._eval(a.expr, frame), s.meta)
             idx_vals.append(v)
             if self.domain.known_int(v) is None:
@@ -950,7 +976,7 @@ class Executor:
         lin = self._linear_index(idx_vals, slc.dims, s.meta)
         if isinstance(value, Slice):
             raise err("dynamic-index array assignment must be scalar",
-                      "T2019", s.meta)
+                      "T2044", s.meta)
         for j in range(slc.size()):
             old = slc.values[j]
             if old is None:
@@ -962,7 +988,7 @@ class Executor:
     def _linear_index(self, idx_vals, dims, meta):
         """Row-major flat index as a domain value (some indices unknown)."""
         if len(idx_vals) != len(dims):
-            raise err("dynamic access must use all indices", "T2018", meta)
+            raise err("dynamic access must use all indices", "T2032", meta)
         strides = []
         s = 1
         for d in reversed(dims):
@@ -982,7 +1008,7 @@ class Executor:
         vals = slc.values
         if any(x is None for x in vals):
             raise err("dynamic read of partially-unassigned array",
-                      "T2005", meta)
+                      "T2003", meta)
         acc = vals[-1]
         for j in range(len(vals) - 2, -1, -1):
             cond = self.domain.infix(A.EQ, lin, self.domain.const(j), meta)
@@ -1041,7 +1067,7 @@ class Executor:
             elif strict:
                 raise err(
                     f"input '{decl.name}' requires tag '{t}' but the "
-                    "assigned expression does not carry it", "T2027", meta,
+                    "assigned expression does not carry it", "T2040", meta,
                 )
 
     def _assign_signal(self, s, decl: SignalDecl, frame):
@@ -1052,10 +1078,29 @@ class Executor:
         _kind, start, count = res
         if frame.unknown_depth:
             raise err("signal assignment inside unknown condition",
-                      "T2041", s.meta)
+                      "T2050", s.meta)
         if s.op == A.AssignOp.VAR:
             raise err("signals must be assigned with <== or <--",
-                      "T2031", s.meta)
+                      "T2054", s.meta)
+        if decl.layout is None and not s.access \
+                and isinstance(s.rhe, A.Variable) and not s.rhe.access:
+            src = frame.signals.get(s.rhe.name)
+            if src is not None \
+                    and getattr(src, "layout", None) is not None:
+                # WrongTypesInAssignOperationBus (error_code.rs T2059)
+                raise err("cannot assign a bus to a signal", "T2059",
+                          s.meta)
+        if decl.layout is not None and not s.access \
+                and isinstance(s.rhe, A.Variable) and not s.rhe.access:
+            src = frame.signals.get(s.rhe.name)
+            if src is not None \
+                    and getattr(src, "layout", None) is not None \
+                    and src.layout.bus_name != decl.layout.bus_name:
+                # MustBeSameBus (error_code.rs BU05)
+                raise err(
+                    f"cannot assign a bus of type "
+                    f"'{src.layout.bus_name}' to one of type "
+                    f"'{decl.layout.bus_name}'", "BU05", s.meta)
         self._check_and_inherit_tags(decl, s.rhe, frame, s.meta)
         value = self._eval(s.rhe, frame)
         self._store_signal_elements(decl, start, count, value, s.op, frame,
@@ -1064,13 +1109,13 @@ class Executor:
     def _assign_tag(self, s, decl, tag, frame):
         if tag not in decl.tag_values:
             raise err(f"signal '{decl.name}' has no tag '{tag}'",
-                      "T2034", s.meta)
+                      "T2048", s.meta)
         v = self._eval(s.rhe, frame)
         k = self.domain.known_int(v)
         if k is None:
-            raise err("tag values must be known constants", "T2035", s.meta)
+            raise err("tag values must be known constants", "T2062", s.meta)
         if any(decl.assigned.values):
-            raise err("tag assigned after signal assignment", "T2036", s.meta)
+            raise err("tag assigned after signal assignment", "T2062", s.meta)
         decl.tag_values[tag] = k
         if frame.builder is not None:
             frame.builder.tag_exports.setdefault(decl.name, {})[tag] = k
@@ -1086,17 +1131,17 @@ class Executor:
                 raise err(
                     f"size mismatch assigning '{decl.name}': "
                     f"{len(vals)} values into {count} elements",
-                    "T2019", meta,
+                    "T2045", meta,
                 )
         else:
             if count != 1:
-                raise err("assigning scalar to signal array", "T2019", meta)
+                raise err("assigning scalar to signal array", "T2045", meta)
             vals = [value]
         for j in range(count):
             if decl.assigned.values[start + j]:
                 raise err(
                     f"signal '{names[start + j]}' already assigned",
-                    "T2012", meta,
+                    "T2037", meta,
                 )
             decl.assigned.values[start + j] = True
             decl.slice.values[start + j] = vals[j]
@@ -1160,11 +1205,26 @@ class Executor:
             # instantiate: c[idxs] = Template(args)
             if frame.unknown_depth:
                 raise err("component instantiation inside unknown condition",
-                          "T2041", s.meta)
+                          "T2050", s.meta)
             value = self._eval(s.rhe, frame)
             if not isinstance(value, TemplateClosure):
+                if isinstance(value, BusClosure):
+                    # InvalidArgumentInBusInstantiationT (BU02)
+                    raise err("components cannot be assigned bus calls",
+                              "BU02", s.meta)
+                if isinstance(value, Slice):
+                    kinds = set(type(x).__name__ for x in value.values)
+                    if "TemplateClosure" in kinds:
+                        # WrongTypesInAssignOperationArrayTemplates T2056
+                        raise err("arrays of template instances cannot "
+                                  "be assigned (instantiate elements "
+                                  "one by one)", "T2056", s.meta)
+                    if "BusClosure" in kinds:
+                        # WrongTypesInAssignOperationArrayBuses T2058
+                        raise err("arrays of bus instances cannot be "
+                                  "assigned here", "T2058", s.meta)
                 raise err("component must be assigned a template call",
-                          "T2030", s.meta)
+                          "T2O461-A", s.meta)
             self._instantiate(s.var, idxs0, value, cslice, frame, s.meta)
             return
         # input assignment: c[i].in[j] <== e
@@ -1174,13 +1234,11 @@ class Executor:
         if cs is None:
             raise err(
                 f"component '{s.var}' used before instantiation",
-                "T2043", s.meta,
+                "T20466", s.meta,
             )
-        if s.op == A.AssignOp.VAR:
-            raise err("component inputs need <== or <--", "T2031", s.meta)
         if frame.unknown_depth:
             raise err("signal assignment inside unknown condition",
-                      "T2041", s.meta)
+                      "T2050", s.meta)
         value = self._eval(s.rhe, frame)
         self._assign_component_input(cs, comp_sig, rest, value, s.op,
                                      frame, s.meta, rhe_ast=s.rhe)
@@ -1192,11 +1250,15 @@ class Executor:
         cs.is_parallel = closure.is_parallel
         cs.label = cname + "".join(f"[{i}]" for i in idxs)
         cs.meta_name = cname
+        if cslice.get(idxs, meta) is not None:
+            # AssigningAComponentTwice (error_code.rs T2036)
+            raise err(f"component '{cs.label}' is already instantiated",
+                      "T2036", meta)
         cslice.set(idxs, cs, meta)
         cs.instantiated = True
         tmpl = self.archive.templates.get(closure.name)
         if tmpl is None:
-            raise err(f"unknown template '{closure.name}'", "T2007", meta)
+            raise err(f"unknown template '{closure.name}'", "T20461", meta)
         # templates whose inputs declare tags execute once the caller has
         # fed every input (tag values travel with the assignments and are
         # part of the memo key — ComponentRepresentation unassigned_tags /
@@ -1242,7 +1304,7 @@ class Executor:
         if node_id is None:
             raise err(
                 f"instance of '{cs.template}' absent from constraint "
-                "pass (params/tags mismatch)", "T2048", meta,
+                "pass (params/tags mismatch)", "T2038", meta,
             )
         cs.node_id = node_id
 
@@ -1298,13 +1360,15 @@ class Executor:
                     walk(x)
             elif isinstance(s, A.Declaration):
                 if s.xtype.kind == "var":
-                    dims = [self._index_value(self._eval(d, frame), s.meta)
+                    dims = [self._index_value(self._eval(d, frame), s.meta,
+                                              what="size")
                             for d in s.dimensions]
                     frame.declare_var(s.name, Slice.filled(dims, None))
                 elif s.xtype.kind == "signal" and s.xtype.signal_type in (
                     A.SignalType.INPUT, A.SignalType.OUTPUT,
                 ):
-                    dims = [self._index_value(self._eval(d, frame), s.meta)
+                    dims = [self._index_value(self._eval(d, frame), s.meta,
+                                              what="size")
                             for d in s.dimensions]
                     wires.append((s.name, dims, s.xtype.signal_type,
                                   s.xtype.tags, None))
@@ -1313,7 +1377,7 @@ class Executor:
                 ):
                     raise err(
                         "tagged templates with bus io are not supported "
-                        "yet", "T2037", s.meta,
+                        "yet", "T2038", s.meta,
                     )
             elif isinstance(s, A.Substitution):
                 try:
@@ -1382,16 +1446,28 @@ class Executor:
     def _assign_component_input(self, cs, sig_name, rest_access, value, op,
                                 frame, meta, rhe_ast=None):
         decl = cs.signals.get(sig_name)
+        if decl is not None and decl.xtype == A.SignalType.OUTPUT:
+            res0 = self._resolve_wire(decl, rest_access, frame, meta)
+            if res0[0] == "tag":
+                # OutputTagCannotBeModifiedOutside (T2048-A)
+                raise err(
+                    "the tags of an output signal cannot be modified "
+                    "outside its template", "T2048-A", meta)
         if decl is None or decl.xtype != A.SignalType.INPUT:
             raise err(
                 f"'{sig_name}' is not an input of template {cs.template}",
-                "T2016", meta,
+                "T2046", meta,
             )
         prefix = cs.label + "."
         res = self._resolve_wire(decl, rest_access, frame, meta)
         if res[0] == "tag":
-            raise err("input tag assignment through components is not "
-                      "supported yet", "T2035", meta)
+            # InputTagCannotBeModifiedOutside (T2048-B)
+            raise err("the tags of an input signal cannot be modified "
+                      "outside its template", "T2048-B", meta)
+        if op == A.AssignOp.VAR:
+            # the `=` operator is only legal for tag writes (caught
+            # above with their own codes)
+            raise err("component inputs need <== or <--", "T2054", meta)
         _k, start, count = res
         # tagged inputs: the assigned expression must carry the tags;
         # collected values become part of the instance identity.
@@ -1463,7 +1539,7 @@ class Executor:
     # -- constraint equality --------------------------------------------
     def _exec_constraint_eq(self, s: A.ConstraintEquality, frame):
         if frame.unknown_depth:
-            raise err("=== inside unknown condition", "T2041", s.meta)
+            raise err("=== inside unknown condition", "T2005", s.meta)
         l = self._eval(s.lhe, frame)
         r = self._eval(s.rhe, frame)
         lv = l.values if isinstance(l, Slice) else [l]
@@ -1471,7 +1547,7 @@ class Executor:
         ldims = l.dims if isinstance(l, Slice) else ()
         rdims = r.dims if isinstance(r, Slice) else ()
         if tuple(ldims) != tuple(rdims):
-            raise err("=== dimension mismatch", "T2019", s.meta)
+            raise err("=== dimension mismatch", "T2045", s.meta)
         for a, b in zip(lv, rv):
             if self.mode == "constrain":
                 self._emit_constraint(alg.sub(a, b, self.hf), frame, s.meta)
@@ -1484,6 +1560,10 @@ class Executor:
     # -- control flow ----------------------------------------------------
     def _exec_if(self, s: A.IfThenElse, frame):
         cond = self._eval(s.cond, frame)
+        if isinstance(cond, Slice) and cond.dims:
+            raise err("conditions must be single arithmetic expressions",
+                      "T2025", s.cond.meta)
+        cond = self._scalar(cond, s.cond.meta, "T2025")
         known = self.domain.as_cond(cond)
         if known is not None:
             if known:
@@ -1512,6 +1592,9 @@ class Executor:
     def _exec_while(self, s: A.While, frame):
         while True:
             cond = self._eval(s.cond, frame)
+            if isinstance(cond, Slice):
+                raise err("conditions must be single arithmetic "
+                          "expressions", "T2025", s.cond.meta)
             known = self.domain.as_cond(cond)
             if known is None:
                 if self.mode == "tape":
@@ -1715,11 +1798,12 @@ class Executor:
         if isinstance(e, A.Variable):
             return self._eval_variable(e, frame)
         if isinstance(e, A.Infix):
-            l = self._scalar(self._eval(e.lhe, frame), e.meta)
-            r = self._scalar(self._eval(e.rhe, frame), e.meta)
+            # InfixOperatorWithWrongTypes (T2028) / Prefix... (T2027)
+            l = self._scalar(self._eval(e.lhe, frame), e.meta, "T2028")
+            r = self._scalar(self._eval(e.rhe, frame), e.meta, "T2028")
             return self.domain.infix(e.op, l, r, e.meta)
         if isinstance(e, A.Prefix):
-            v = self._scalar(self._eval(e.rhe, frame), e.meta)
+            v = self._scalar(self._eval(e.rhe, frame), e.meta, "T2027")
             return self.domain.prefix(e.op, v, e.meta)
         if isinstance(e, A.TernarySwitch):
             cond = self._scalar(self._eval(e.cond, frame), e.meta)
@@ -1736,11 +1820,20 @@ class Executor:
             known = [self._expect_known_arg(p) for p in params]
             return BusClosure(e.id, known)
         if isinstance(e, A.ArrayInLine):
+            if not e.values:
+                raise err("array declarations must be non-empty",
+                          "T2026", e.meta)
             vals = [self._eval(v, frame) for v in e.values]
+            if any(isinstance(v, (TemplateClosure, BusClosure))
+                   for v in vals):
+                # InvalidArrayType (error_code.rs T2034)
+                raise err("arrays of templates or buses are not allowed",
+                          "T2034", e.meta)
             return _stack_slices(vals, e.meta)
         if isinstance(e, A.UniformArray):
             v = self._eval(e.value, frame)
-            n = self._index_value(self._eval(e.dimension, frame), e.meta)
+            n = self._index_value(self._eval(e.dimension, frame), e.meta,
+                              what="size")
             vals = [v.copy() if isinstance(v, Slice) else v for _ in range(n)]
             return _stack_slices(vals, e.meta)
         if isinstance(e, A.ParallelOp):
@@ -1750,28 +1843,33 @@ class Executor:
             return v
         if isinstance(e, A.TupleExpr):
             raise err("tuple in expression position (not yet desugared)",
-                      "T2050", e.meta)
+                      "TAC02", e.meta)
         if isinstance(e, A.AnonymousComp):
-            raise err("anonymous component (not yet desugared)", "T2050",
+            raise err("anonymous component (not yet desugared)", "TAC01",
                       e.meta)
-        raise err(f"unsupported expression {type(e).__name__}", "T2051",
+        raise err(f"unsupported expression {type(e).__name__}", "T2038",
                   getattr(e, "meta", None))
 
-    def _scalar(self, v, meta):
+    def _scalar(self, v, meta, code="T2044"):
         if isinstance(v, Slice):
             if v.dims:
-                raise err("array used where scalar expected", "T2019", meta)
+                raise err("array used where scalar expected", code, meta)
             return v.values[0]
         if isinstance(v, TemplateClosure):
-            raise err("template call used as value", "T2030", meta)
+            raise err("template call used as value", "T2022", meta)
         return v
 
-    def _index_value(self, v, meta):
+    def _index_value(self, v, meta, what="index"):
         v = self._scalar(v, meta)
         k = self.domain.known_int(v)
         if k is None:
-            raise err("array size/index must be known at compile time",
-                      "T2021", meta)
+            if what == "size":
+                # NonConstantArrayLength (error_code.rs T20463)
+                raise err("array length must be known at compile time",
+                          "T20463", meta)
+            # UnknownIndex (error_code.rs T2042)
+            raise err("array index must be known at compile time",
+                      "T2042", meta)
         return k
 
     def _eval_variable(self, e: A.Variable, frame):
@@ -1809,7 +1907,7 @@ class Executor:
                      start_i=0):
         if isinstance(decl, PendingBus):
             raise err(f"bus '{decl.name}' used before initialization",
-                      "T2037", e.meta)
+                      "BU06", e.meta)
         access = e.access if access is None else access
         # witness-dependent array index: select-chain read in the value
         # modes (the reference's generated code does runtime addressing,
@@ -1829,7 +1927,7 @@ class Executor:
                 if any(x is None for x in vals):
                     raise err(
                         f"signal '{decl.name}' read before assignment",
-                        "T2005", e.meta)
+                        "T2003", e.meta)
                 lin = self._linear_index(idx_vals, decl.dims, e.meta)
                 acc = vals[-1]
                 for j in range(len(vals) - 2, -1, -1):
@@ -1839,9 +1937,15 @@ class Executor:
                 return acc
         res = self._resolve_wire(decl, access, frame, e.meta, start_i)
         if res[0] == "tag":
+            if prefix and decl.xtype == A.SignalType.INPUT:
+                # InputTagCannotBeAccessedOutside (T2048-C)
+                raise err("the tags of an input signal cannot be "
+                          "accessed outside its template", "T2048-C",
+                          e.meta)
             tv = decl.tag_values[res[1]]
             if tv is None:
-                raise err(f"tag '{res[1]}' has no value", "T2035", e.meta)
+                # InvalidTagAccess (T2048)
+                raise err(f"tag '{res[1]}' has no value", "T2048", e.meta)
             return self.domain.const(tv)
         _k, start, count = res
         if self.mode == "constrain":
@@ -1891,9 +1995,16 @@ class Executor:
             return self._call_function(e, frame)
         if e.id in self.archive.templates:
             params = [self._eval(a, frame) for a in e.args]
-            known = [self._expect_known_arg(p) for p in params]
+            known = [self._expect_known_arg(p, e.meta) for p in params]
             return TemplateClosure(e.id, known)
-        raise err(f"unknown function or template '{e.id}'", "T2007", e.meta)
+        if e.id in self.archive.buses:
+            # bus calls are syntactically identical to template calls;
+            # resolve by symbol table (type_reduction.rs analog)
+            params = [self._eval(a, frame) for a in e.args]
+            known = [self._expect_known_arg(p, e.meta) for p in params]
+            return BusClosure(e.id, known)
+        raise err(f"unknown function or template '{e.id}'", "T20461",
+                  e.meta)
 
     def _call_function(self, e: A.Call, frame):
         fn = self.archive.functions[e.id]

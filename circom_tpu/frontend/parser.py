@@ -63,6 +63,14 @@ class Parser:
     def expect(self, kind, what="") -> Token:
         t = self.toks[self.i]
         if t.kind != kind:
+            if kind == "id":
+                # ExpectedIdentifier (error_code.rs P1015 / ast.rs:568)
+                raise self.fail("An identifier is expected", t,
+                                code="P1015")
+            if kind == "str" and what == "include path":
+                # UnrecognizedInclude (lang.lalrpop:73, P1009)
+                raise self.fail("unrecognized argument in include "
+                                "directive", t, code="P1009")
             raise self.fail(f"expected {what or kind!r}, found {t.kind!r}", t)
         return self.next()
 
@@ -316,15 +324,18 @@ class Parser:
 
     def parse_substitution_only(self) -> Stmt:
         """A substitution without trailing semicolon (for-loop init/step)."""
-        stmt = self.parse_expression_led(require_semi=False)
+        stmt = self.parse_expression_led(require_semi=False, in_for=True)
         if not isinstance(stmt, (Substitution, MultSubstitution)):
-            self.fail("expected an assignment")
+            # ForStatementIllConstructed (error_code.rs T2035)
+            self.fail("for statement is ill constructed: expected an "
+                      "assignment", code="T2035")
         return stmt
 
     def parse_expression_statement(self) -> Stmt:
         return self.parse_expression_led(require_semi=True)
 
-    def parse_expression_led(self, require_semi: bool) -> Stmt:
+    def parse_expression_led(self, require_semi: bool,
+                             in_for: bool = False) -> Stmt:
         start = self.peek()
         lhe = self.parse_expression()
         t = self.peek()
@@ -356,6 +367,10 @@ class Parser:
             stmt = Substitution(self.meta(start), lhe.name, lhe.access, AssignOp.VAR, infix)
         elif isinstance(lhe, AnonymousComp):
             stmt = AnonymousCompStmt(self.meta(start), lhe)
+        elif in_for:
+            # ForStatementIllConstructed (error_code.rs T2035)
+            raise self.fail("for statement is ill constructed: expected "
+                            "an assignment", t, code="T2035")
         else:
             raise self.fail("illegal expression statement", t)
         if require_semi:
@@ -628,6 +643,10 @@ class Parser:
             return Number(self.meta(t), t.value % self.p)
         if t.kind == "[":
             self.next()
+            if self.at("]"):
+                # EmptyArrayInlineDeclaration (error_code.rs T2026)
+                raise self.fail("array declarations must be non-empty",
+                                t, code="T2026")
             values = [self.parse_expression()]
             while self.at(","):
                 self.next()

@@ -349,15 +349,17 @@ class SugarRemover:
     def _rm_tuple_sub(self, s: MultSubstitution):
         meta = s.meta
         if not isinstance(s.lhe, TupleExpr):
-            raise _err("invalid left side of a multi-assignment", meta)
+            raise _err("invalid left side of a multi-assignment", meta,
+                       code="TAC02")
         if not isinstance(s.rhe, TupleExpr):
             raise _err("the right side of a tuple assignment must be a "
                        "tuple (e.g. an anonymous component with several "
-                       "outputs)", meta)
+                       "outputs)", meta, code="TAC02")
         lhs, rhs = s.lhe.values, s.rhe.values
         if len(lhs) != len(rhs):
             raise _err(
-                f"tuple arity mismatch: {len(lhs)} vs {len(rhs)}", meta)
+                f"tuple arity mismatch: {len(lhs)} vs {len(rhs)}", meta,
+                code="TAC02")
         stmts = []
         for tgt, src in zip(lhs, rhs):
             if isinstance(tgt, Variable) and tgt.name == "_":
@@ -366,7 +368,8 @@ class SugarRemover:
                 stmts.append(
                     Substitution(meta, tgt.name, tgt.access, s.op, src))
             else:
-                raise _err("tuple elements must be variables or _", meta)
+                raise _err("tuple elements must be variables or _", meta,
+                           code="TAC02")
         return Block(meta, stmts)
 
 

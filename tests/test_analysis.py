@@ -18,7 +18,7 @@ def test_template_cannot_return():
 pragma circom 2.0.0;
 template T() { signal input a; return a; }
 component main = T();
-""", "T2015")
+""", "T2024")
 
 
 def test_function_all_paths_return():
@@ -27,7 +27,7 @@ pragma circom 2.0.0;
 function f(x) { if (x > 0) { return 1; } }
 template T() { signal input a; signal output b; b <== a * f(1); }
 component main = T();
-""", "T2015")
+""", "T2014")
 
 
 def test_function_no_signals():
@@ -44,7 +44,7 @@ def test_unknown_call():
 pragma circom 2.0.0;
 template T() { signal input a; signal output b; b <== nosuch(a); }
 component main = T();
-""", "T2002")
+""", "T2001")
 
 
 def test_call_arity():
@@ -61,7 +61,7 @@ def test_undeclared_symbol():
 pragma circom 2.0.0;
 template T() { signal input a; signal output b; b <== a * zz; }
 component main = T();
-""", "T2005")
+""", "T2021")
 
 
 def test_custom_gate_requires_pragma():

@@ -47,7 +47,7 @@ template T() {
 }
 component main = T();
 """
-    assert "T2044" in codes_of(src)
+    assert "T2028" in codes_of(src)  # InfixOperatorWithWrongTypes
 
 
 def test_ternary_branch_dims_mismatch():
@@ -132,7 +132,7 @@ template T() {
 component main = T();
 """
     cs = codes_of(src)
-    assert "T2044" in cs and "T2032" in cs
+    assert "T2028" in cs and "T2032" in cs
 
 
 def test_uninstantiated_template_still_checked():
