@@ -47,6 +47,14 @@ _MSG = {
     "T2013": "function returns different types depending on the branch",
     "T2046": "operands must have the same dimension",
     "T2051": "the main component cannot have inputs with tags",
+    "T2047": "signal does not declare this tag",
+    "T2048-A": "the tags of an output signal cannot be modified "
+               "outside its template",
+    "T2048-B": "the tags of an input signal cannot be modified outside "
+               "its template",
+    "T2048-C": "the tags of an input signal cannot be accessed outside "
+               "its template",
+    "BU04": "field or tag not declared by the bus",
 }
 
 
@@ -151,7 +159,9 @@ class TypeCheck:
                 if isinstance(s, A.Declaration) \
                         and s.xtype.kind in ("signal", "bus"):
                     io[s.name] = (len(s.dimensions),
-                                  s.xtype.bus_name or None)
+                                  s.xtype.bus_name or None,
+                                  set(s.xtype.tags or ()),
+                                  s.xtype.signal_type)
                 elif isinstance(s, A.Block):
                     for st in s.stmts:
                         scan(st)
@@ -318,7 +328,7 @@ class TypeCheck:
         # AnonymousComp / TupleExpr are removed by the sugar pass
         return None
 
-    def _type_variable(self, e, scope, rep):
+    def _type_variable(self, e, scope, rep, writing=False):
         sym = scope.find(e.name)
         if sym is None:
             return None
@@ -358,7 +368,11 @@ class TypeCheck:
                     if bus:
                         fld = self._bus_field(bus, acc.name)
                         if fld is None:
-                            # a tag on the bus signal: scalar value
+                            # a tag on the bus wire: must be declared
+                            # (InvalidSignalAccessInBus BU04 otherwise)
+                            if acc.name not in info.get("tags", ()):
+                                rep("BU04", e.meta)
+                                return None
                             return _arith(0)
                         d, bus = fld[0], fld[1]
                         i += 1
@@ -366,7 +380,11 @@ class TypeCheck:
                         if d is None:
                             return None
                     else:
-                        # tag access: scalar
+                        # tag access: the signal must DECLARE the tag
+                        # (InvalidSignalTagAccess T2047); scalar value
+                        if acc.name not in info.get("tags", ()):
+                            rep("T2047", e.meta)
+                            return None
                         if i + 1 < len(access):
                             rep("T2032", e.meta)
                         return _arith(0)
@@ -387,7 +405,7 @@ class TypeCheck:
                 io = self._template_io(tmpl)
                 if acc.name not in io:
                     return None  # main-input tags etc.: leave dynamic
-                sd, sbus = io[acc.name]
+                sd, sbus, stags, sdir = io[acc.name]
                 i += 1
                 sd, i = eat_arrays(access, sd, i)
                 if sd is None:
@@ -412,6 +430,24 @@ class TypeCheck:
                                 return None
                         return (("b", bus, d2) if bus
                                 else _arith(d2))
+                    # tag read on a subcomponent io signal: the tag
+                    # must be declared (T2047 InvalidSignalTagAccess),
+                    # and INPUT tags are not visible from outside
+                    # (T2048-C, type_check.rs InputTagCannot...)
+                    a2 = access[i]
+                    if isinstance(a2, A.ComponentAccess):
+                        if a2.name not in stags:
+                            rep("T2047", e.meta)
+                            return None
+                        if writing:
+                            # io tags are never writable from outside
+                            rep("T2048-A"
+                                if sdir == A.SignalType.OUTPUT
+                                else "T2048-B", e.meta)
+                            return None
+                        if sdir == A.SignalType.INPUT:
+                            rep("T2048-C", e.meta)
+                            return None
                     return _arith(0)  # tag on io signal
                 if sbus:
                     return ("b", sbus, sd)
@@ -436,7 +472,8 @@ class TypeCheck:
                 if t is not None and (t[0] != "a" or t[1] != 0):
                     self.error("T2044", d.meta)
             kind = s.xtype.kind
-            info = {"dims": len(s.dimensions)}
+            info = {"dims": len(s.dimensions),
+                    "tags": set(s.xtype.tags or ())}
             if kind in ("component", "anonymous_component"):
                 info["tmpl"] = None
                 scope.declare(s.name, ("component", info))
@@ -520,7 +557,8 @@ class TypeCheck:
             return
         fake = A.Variable(meta=s.meta, name=s.var, access=s.access)
         lt = self._type_variable(fake, scope,
-                                 lambda code, meta: self.error(code, meta))
+                                 lambda code, meta: self.error(code, meta),
+                                 writing=True)
         ld = lt[1] if lt is not None and lt[0] == "a" else None
         rd = rt[1] if rt is not None and rt[0] == "a" else None
         if ld is not None and rd is not None and ld != rd:

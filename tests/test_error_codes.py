@@ -225,9 +225,9 @@ component main = A();'''
     expect(T + base % "c.i <== sc.s; c.o.t = 3; y <== c.o;", "T2048-A")
     expect(T + base % "c.i.u = 3; c.i <== sc.s; y <== c.o;", "T2048-B")
     # reading an input tag from outside: the static type check reports
-    # it first under T2047 (InvalidSignalTagAccess, the same reference
-    # code string); the executor's T2048-C remains the runtime backstop
-    expect(T + base % "c.i <== sc.s; y <== x + c.i.u;", "T2047")
+    # T2048-C (InputTagCannotBeAccessedOutside, type_check.rs parity);
+    # the executor keeps a runtime backstop
+    expect(T + base % "c.i <== sc.s; y <== x + c.i.u;", "T2048-C")
 
 
 def test_t2054_t2055_wrong_assign_operators():
