@@ -361,7 +361,13 @@ def _batch_columns(cc, batch_inputs, layout, prog):
         for (name, dims, off) in layout:
             v = inputs.get(name)
             if v is None:
-                raise Report.error(f"missing input '{name}'", "T3011")
+                # span: the main component call that declares the
+                # input surface (round-1 weak #8: labels, not bare)
+                r = Report.error(f"missing input '{name}'", "T3011")
+                m = getattr(cc.archive.main.call, "meta", None)
+                if m is not None:
+                    r.add_primary(m.file_id, m.start, m.end)
+                raise r
             if isinstance(v, list):
                 def walk(x):
                     for item in x:
