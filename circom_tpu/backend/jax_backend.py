@@ -228,11 +228,18 @@ class WitnessProgram:
         # trailing guard outputs from predicated while unrolling: the
         # caller must check these rows are zero (see pipeline.build_tape)
         self.n_guards = getattr(tape, "n_guards", 0)
-        if not self.unroll:
-            self._schedule_and_allocate()
-        else:
-            self.n_steps = 0
+        # scan-path tables plan LAZILY: when a fused backend serves the
+        # run, the packer/allocator never pays (SHA-class planning cost)
+        self.n_steps = 0
+        self._scan_planned = False
+        if not self.unroll and self.fused is None:
+            self._ensure_scan_tables()
         self._jit = None
+
+    def _ensure_scan_tables(self):
+        if not self._scan_planned and not self.unroll:
+            self._schedule_and_allocate()
+            self._scan_planned = True
 
     # -- schedule: pack same-(level, opcode) nodes into vector steps -----
     def _schedule_and_allocate(self):
@@ -553,6 +560,7 @@ class WitnessProgram:
             return self.fused._run(inputs)
         if self.unroll:
             return self._run_ssa(inputs)
+        self._ensure_scan_tables()
         rf = self._init_regfile(inputs)
         opc, a_i, b_i, c_i, o_i, w_i, imm = self.tables
         branches = [self._branch(op) for op in self.branch_ops]

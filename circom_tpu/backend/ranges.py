@@ -73,6 +73,10 @@ class GadgetSharpener:
         self.max_abs = max_abs
         self.support = [None] * n   # sorted atom-id tuple, or None
         self.vec = [None] * n       # int64 values over the assignments
+        # expansion index vectors keyed by the POSITION pattern of
+        # s_from within s_to (node ids differ per gadget, positions
+        # repeat constantly — SHA-class tapes hit this 340k+ times)
+        self._expand_cache = {}
 
     def _as_atom(self, i):
         r = self.rng[i]
@@ -85,11 +89,15 @@ class GadgetSharpener:
     def _expand(self, v, s_from, s_to):
         if s_from == s_to:
             return v
-        np = self.np
-        m = np.arange(1 << len(s_to))
-        idx = np.zeros_like(m)
-        for j, a in enumerate(s_from):
-            idx |= ((m >> s_to.index(a)) & 1) << j
+        key = (tuple(s_to.index(a) for a in s_from), len(s_to))
+        idx = self._expand_cache.get(key)
+        if idx is None:
+            np = self.np
+            m = np.arange(1 << len(s_to))
+            idx = np.zeros_like(m)
+            for j, pos in enumerate(key[0]):
+                idx |= ((m >> pos) & 1) << j
+            self._expand_cache[key] = idx
         return v[idx]
 
     def visit(self, i):
