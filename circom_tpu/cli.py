@@ -172,7 +172,7 @@ def main(argv=None):
         from .backend.artifacts import save_program
 
         path = os.path.join(outdir, f"{name}.tpu.json")
-        save_program(cc, path)
+        save_program(cc, path, args.while_max_unroll)
         print(f"written successfully: {path}")
     if args.inputs:
         # reference hidden flag: log_inputs.txt (input_user.rs:397-585)

@@ -388,3 +388,60 @@ component main = T(7);
     assert "x is Unknown" in out
     compile_source(src)  # default: silent
     assert "n is 7" not in capsys.readouterr().out
+
+
+def test_artifact_v2_roundtrips_guards_hints_extern():
+    """Serialized programs (v2) carry while-guards, tag range hints,
+    extern_c recipes and constraint-derived input hints — a reloaded
+    program behaves exactly like a fresh compile."""
+    import json
+    import tempfile
+
+    from circom_tpu import register_extern
+    from circom_tpu.backend.artifacts import load_program, save_program
+    from circom_tpu.compiler.executor import EXTERN_IMPLS
+    from circom_tpu.compiler.pipeline import compile_source
+
+    src = """
+pragma circom 2.0.6;
+pragma custom_templates;
+template custom extern_c Ex() { signal input i; signal output o; }
+template T() {
+    signal input x;
+    signal input b;
+    signal output y;
+    signal {maxbit} t;
+    t.maxbit = 4;
+    t <-- x & 15;
+    b * (b - 1) === 0;
+    var q = 0;
+    var r = x;
+    while (r >= 3) { r = r - 3; q = q + 1; }
+    component e = Ex();
+    e.i <== x;
+    y <-- q + t + e.o + b;
+    y*0 === 0;
+}
+component main = T();
+"""
+    register_extern("Ex", lambda params, ins: {"o": ins["i"] * 2})
+    try:
+        cc = compile_source(src, prime="goldilocks")
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as f:
+            path = f.name
+        save_program(cc, path)
+        tape, layout = cc.build_tape()
+        tape2, layout2, meta = load_program(path)
+        assert tape2.n_guards == tape.n_guards == 1
+        assert tape2.node_hints == tape.node_hints
+        assert (0, 15) in tape2.node_hints.values()
+        assert tape2.extern_calls == tape.extern_calls
+        assert len(tape2.extern_calls) == 1
+        assert meta["input_range_hints"] == cc.input_range_hints()
+        assert meta["input_range_hints"][1] == (0, 1)  # b's bit hint
+        assert layout2 == layout
+        # raw JSON is v2
+        assert json.load(open(path))["version"] == 2
+    finally:
+        EXTERN_IMPLS.clear()
