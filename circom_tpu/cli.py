@@ -232,7 +232,9 @@ def main(argv=None):
                               unroll_threshold=0,
                               input_ranges=hints)
         try:
-            cols = _batch_columns(cc, batch_inputs, layout, prog)
+            cols = _batch_columns(
+                cc.p, batch_inputs, layout, prog,
+                main_meta=getattr(cc.archive.main.call, "meta", None))
             # hinted inputs are validated HOST-SIDE unconditionally:
             # the narrow int32 lane is only sound for in-range values,
             # and with --sanity_check 0 the batched R1CS check that
@@ -353,10 +355,10 @@ def _check_hinted_columns(cols, hints, p, layout):
                     "constraints", "T3015")
 
 
-def _batch_columns(cc, batch_inputs, layout, prog):
+def _batch_columns(p, batch_inputs, layout, prog, main_meta=None):
     cols = [[] for _ in range(prog.n_inputs)]
     for raw in batch_inputs:
-        inputs = load_inputs(raw, cc.p)
+        inputs = load_inputs(raw, p)
         flat = []
         for (name, dims, off) in layout:
             v = inputs.get(name)
@@ -364,9 +366,9 @@ def _batch_columns(cc, batch_inputs, layout, prog):
                 # span: the main component call that declares the
                 # input surface (round-1 weak #8: labels, not bare)
                 r = Report.error(f"missing input '{name}'", "T3011")
-                m = getattr(cc.archive.main.call, "meta", None)
-                if m is not None:
-                    r.add_primary(m.file_id, m.start, m.end)
+                if main_meta is not None:
+                    r.add_primary(main_meta.file_id, main_meta.start,
+                                  main_meta.end)
                 raise r
             if isinstance(v, list):
                 def walk(x):

@@ -138,3 +138,30 @@ def test_witness_tpu_hinted_input_in_range(tmp_path):
 
     assert read_wtns(str(tmp_path / "bit.0.wtns"))["values"][1] == 2
     assert read_wtns(str(tmp_path / "bit.1.wtns"))["values"][1] == 1
+
+
+def test_standalone_witness_from_artifact(tmp_path):
+    """The generate_witness.js analog: compile once (--tpu), then
+    `python -m circom_tpu.witness artifact inputs -o out` generates
+    batched witnesses without recompiling — guards, hints and the
+    sanity checker all ride the artifact (v2)."""
+    from circom_tpu.witness import main as wmain
+
+    circ = _write(tmp_path, "g.circom", GOOD)
+    rc = main([circ, "--prime", "goldilocks", "-o", str(tmp_path),
+               "--tpu"])
+    assert rc == 0
+    inp = _inputs(tmp_path, [{"in": 3}, {"in": 5}])
+    rc = wmain([str(tmp_path / "g.tpu.json"), inp, "-o", str(tmp_path)])
+    assert rc == 0
+    from circom_tpu.emit.binfmt import read_wtns
+
+    assert read_wtns(str(tmp_path / "g.0.wtns"))["values"][1] == 10
+    assert read_wtns(str(tmp_path / "g.1.wtns"))["values"][1] == 26
+    # bad witness still caught by the artifact-carried checker
+    circ2 = _write(tmp_path, "bad.circom", BAD_HINT)
+    rc = main([circ2, "--prime", "goldilocks", "-o", str(tmp_path),
+               "--tpu"])
+    assert rc == 0
+    rc = wmain([str(tmp_path / "bad.tpu.json"), inp, "-o", str(tmp_path)])
+    assert rc == 1
