@@ -636,38 +636,38 @@ class Executor:
     # ==================================================================
     def _exec_stmt(self, s, frame):
         m = getattr(s, "meta", None)
-        if isinstance(s, A.Block):
+        if type(s) is A.Block:
             frame.scopes.append({})
             try:
                 for st in s.stmts:
                     self._exec_stmt(st, frame)
             finally:
                 frame.scopes.pop()
-        elif isinstance(s, A.InitializationBlock):
+        elif type(s) is A.InitializationBlock:
             for st in s.initializations:
                 self._exec_stmt(st, frame)
-        elif isinstance(s, A.Declaration):
+        elif type(s) is A.Declaration:
             self._exec_declaration(s, frame)
-        elif isinstance(s, A.Substitution):
+        elif type(s) is A.Substitution:
             self._exec_substitution(s, frame)
-        elif isinstance(s, A.ConstraintEquality):
+        elif type(s) is A.ConstraintEquality:
             self._exec_constraint_eq(s, frame)
-        elif isinstance(s, A.IfThenElse):
+        elif type(s) is A.IfThenElse:
             self._exec_if(s, frame)
-        elif isinstance(s, A.While):
+        elif type(s) is A.While:
             self._exec_while(s, frame)
-        elif isinstance(s, A.Return):
+        elif type(s) is A.Return:
             raise FunctionReturn(self._eval(s.value, frame))
-        elif isinstance(s, A.LogCall):
+        elif type(s) is A.LogCall:
             self._exec_log(s, frame)
-        elif isinstance(s, A.Assert):
+        elif type(s) is A.Assert:
             self._exec_assert(s, frame)
-        elif isinstance(s, A.MultSubstitution):
+        elif type(s) is A.MultSubstitution:
             raise err("tuples/anonymous components not yet desugared",
                       "TAC02", m)
-        elif isinstance(s, A.AnonymousCompStmt):
+        elif type(s) is A.AnonymousCompStmt:
             raise err("anonymous components not yet desugared", "TAC01", m)
-        elif isinstance(s, A.UnderscoreSubstitution):
+        elif type(s) is A.UnderscoreSubstitution:
             parts = (s.rhe.values if isinstance(s.rhe, A.TupleExpr)
                      else [s.rhe])
             for part in parts:
@@ -889,6 +889,8 @@ class Executor:
 
         Returns ('tag', tag_name) or ('range', start, count).
         """
+        if not access and decl.layout is None and not decl.dims:
+            return ("range", 0, 1)  # scalar signal, no access (common)
         i = start_i
         layout = decl.layout
         dims = list(decl.dims)
@@ -1793,19 +1795,19 @@ class Executor:
     # expression evaluation
     # ==================================================================
     def _eval(self, e, frame):
-        if isinstance(e, A.Number):
+        if type(e) is A.Number:
             return self.domain.const(e.value)
-        if isinstance(e, A.Variable):
+        if type(e) is A.Variable:
             return self._eval_variable(e, frame)
-        if isinstance(e, A.Infix):
+        if type(e) is A.Infix:
             # InfixOperatorWithWrongTypes (T2028) / Prefix... (T2027)
             l = self._scalar(self._eval(e.lhe, frame), e.meta, "T2028")
             r = self._scalar(self._eval(e.rhe, frame), e.meta, "T2028")
             return self.domain.infix(e.op, l, r, e.meta)
-        if isinstance(e, A.Prefix):
+        if type(e) is A.Prefix:
             v = self._scalar(self._eval(e.rhe, frame), e.meta, "T2027")
             return self.domain.prefix(e.op, v, e.meta)
-        if isinstance(e, A.TernarySwitch):
+        if type(e) is A.TernarySwitch:
             cond = self._scalar(self._eval(e.cond, frame), e.meta)
             known = self.domain.as_cond(cond)
             if known is not None:
@@ -1813,13 +1815,13 @@ class Executor:
             a = self._scalar(self._eval(e.if_true, frame), e.meta)
             b = self._scalar(self._eval(e.if_false, frame), e.meta)
             return self.domain.select(cond, a, b)
-        if isinstance(e, A.Call):
+        if type(e) is A.Call:
             return self._eval_call(e, frame)
-        if isinstance(e, A.BusCall):
+        if type(e) is A.BusCall:
             params = [self._eval(a, frame) for a in e.args]
             known = [self._expect_known_arg(p) for p in params]
             return BusClosure(e.id, known)
-        if isinstance(e, A.ArrayInLine):
+        if type(e) is A.ArrayInLine:
             if not e.values:
                 raise err("array declarations must be non-empty",
                           "T2026", e.meta)
@@ -1830,21 +1832,21 @@ class Executor:
                 raise err("arrays of templates or buses are not allowed",
                           "T2034", e.meta)
             return _stack_slices(vals, e.meta)
-        if isinstance(e, A.UniformArray):
+        if type(e) is A.UniformArray:
             v = self._eval(e.value, frame)
             n = self._index_value(self._eval(e.dimension, frame), e.meta,
                               what="size")
             vals = [v.copy() if isinstance(v, Slice) else v for _ in range(n)]
             return _stack_slices(vals, e.meta)
-        if isinstance(e, A.ParallelOp):
+        if type(e) is A.ParallelOp:
             v = self._eval(e.rhe, frame)
             if isinstance(v, TemplateClosure):
                 v.is_parallel = True
             return v
-        if isinstance(e, A.TupleExpr):
+        if type(e) is A.TupleExpr:
             raise err("tuple in expression position (not yet desugared)",
                       "TAC02", e.meta)
-        if isinstance(e, A.AnonymousComp):
+        if type(e) is A.AnonymousComp:
             raise err("anonymous component (not yet desugared)", "TAC01",
                       e.meta)
         raise err(f"unsupported expression {type(e).__name__}", "T2038",
@@ -1884,7 +1886,7 @@ class Executor:
             dynamic = False
             for a in e.access:
                 if not isinstance(a, A.ArrayAccess):
-                    raise err("invalid access on var", "T2033", e.meta)
+                    raise err("invalid access on var", "T2032", e.meta)
                 iv = self._scalar(self._eval(a.expr, frame), e.meta)
                 idx_vals.append(iv)
                 if self.domain.known_int(iv) is None:
@@ -1897,11 +1899,11 @@ class Executor:
                 return got
             if got is None:
                 raise err(f"variable '{name}' used before assignment",
-                          "T2005", e.meta)
+                          "T2003", e.meta)
             return got
         if name in self.archive.templates or name in self.archive.functions:
-            raise err(f"'{name}' used as a value", "T2030", e.meta)
-        raise err(f"undeclared symbol '{name}'", "T2004", e.meta)
+            raise err(f"'{name}' used as a value", "T2022", e.meta)
+        raise err(f"undeclared symbol '{name}'", "T2021", e.meta)
 
     def _read_signal(self, decl, e, frame, prefix, access=None,
                      start_i=0):

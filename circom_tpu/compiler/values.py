@@ -51,16 +51,20 @@ class Slice:
 
     def route_offset(self, idxs, meta=None):
         """Partial index -> (flat start, remaining dims)."""
+        if not idxs:  # scalar / whole-slice access (the common case)
+            return 0, self.dims
         if len(idxs) > len(self.dims):
-            raise err("too many array indices", "T2018", meta)
+            # InvalidArrayAccess (error_code.rs T2032)
+            raise err("too many array indices", "T2032", meta)
         off = 0
         stride = self.size()
         for k, i in enumerate(idxs):
             d = self.dims[k]
             if not (0 <= i < d):
+                # runtime out-of-bounds (reference RuntimeError T3001)
                 raise err(
                     f"index {i} out of bounds for dimension of size {d}",
-                    "T2021", meta,
+                    "T3001", meta,
                 )
             stride //= d
             off += i * stride
