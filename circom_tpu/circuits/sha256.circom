@@ -125,7 +125,8 @@ template BigSigma(r1, r2, r3) {
     }
 }
 
-template Sha256Block() {
+template Sha256Compress() {
+    signal input hin[256];
     signal input in[512];
     signal output out[256];
 
@@ -169,14 +170,14 @@ template Sha256Block() {
     signal g[65][32];
     signal h[65][32];
     for (var k = 0; k < 32; k++) {
-        a[0][k] <== (SHA_IV(0) >> k) & 1;
-        b[0][k] <== (SHA_IV(1) >> k) & 1;
-        c[0][k] <== (SHA_IV(2) >> k) & 1;
-        d[0][k] <== (SHA_IV(3) >> k) & 1;
-        e[0][k] <== (SHA_IV(4) >> k) & 1;
-        f[0][k] <== (SHA_IV(5) >> k) & 1;
-        g[0][k] <== (SHA_IV(6) >> k) & 1;
-        h[0][k] <== (SHA_IV(7) >> k) & 1;
+        a[0][k] <== hin[k];
+        b[0][k] <== hin[32 + k];
+        c[0][k] <== hin[64 + k];
+        d[0][k] <== hin[96 + k];
+        e[0][k] <== hin[128 + k];
+        f[0][k] <== hin[160 + k];
+        g[0][k] <== hin[192 + k];
+        h[0][k] <== hin[224 + k];
     }
 
     component bs0[64];
@@ -248,7 +249,7 @@ template Sha256Block() {
         fin[6].words[0][k] <== g[64][k];
         fin[7].words[0][k] <== h[64][k];
         for (var j = 0; j < 8; j++) {
-            fin[j].words[1][k] <== (SHA_IV(j) >> k) & 1;
+            fin[j].words[1][k] <== hin[32 * j + k];
         }
     }
     for (var j = 0; j < 8; j++) {
@@ -256,4 +257,35 @@ template Sha256Block() {
             out[32 * j + k] <== fin[j].out[k];
         }
     }
+}
+
+
+template Sha256Block() {
+    signal input in[512];
+    signal output out[256];
+    component c = Sha256Compress();
+    for (var k = 0; k < 256; k++) { c.hin[k] <== (SHA_IV(k \ 32) >> (k % 32)) & 1; }
+    for (var i = 0; i < 512; i++) { c.in[i] <== in[i]; }
+    for (var k = 0; k < 256; k++) { out[k] <== c.out[k]; }
+}
+
+// full multi-block compression chain over pre-padded message blocks
+// (the scale axis: witness cost grows linearly in nBlocks, compile
+// cost stays one memoized Sha256Compress instance)
+template Sha256(nBlocks) {
+    signal input in[nBlocks][512];
+    signal output out[256];
+    component c[nBlocks];
+    for (var b = 0; b < nBlocks; b++) {
+        c[b] = Sha256Compress();
+        for (var i = 0; i < 512; i++) { c[b].in[i] <== in[b][i]; }
+        for (var k = 0; k < 256; k++) {
+            if (b == 0) {
+                c[b].hin[k] <== (SHA_IV(k \ 32) >> (k % 32)) & 1;
+            } else {
+                c[b].hin[k] <== c[b-1].out[k];
+            }
+        }
+    }
+    for (var k = 0; k < 256; k++) { out[k] <== c[nBlocks-1].out[k]; }
 }

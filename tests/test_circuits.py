@@ -93,3 +93,39 @@ def test_merkle_inclusion(merkle_cc):
     for s, e in zip(bits, elems):
         cur = H(e, cur) if s else H(cur, e)
     assert cur == root
+
+
+def test_sha256_multiblock_chain():
+    """Sha256(nBlocks) chains Sha256Compress over the padded message
+    blocks (the scale axis: one memoized compression instance, witness
+    cost linear in blocks); 2-block digest checked against hashlib."""
+    import hashlib
+
+    from circom_tpu.compiler.pipeline import compile_source
+
+    def msg_blocks(msg, nblocks):
+        total = nblocks * 64
+        block = (bytearray(msg) + b"\x80"
+                 + b"\x00" * (total - len(msg) - 9)
+                 + (8 * len(msg)).to_bytes(8, "big"))
+        out = []
+        for b in range(nblocks):
+            bits = []
+            for t in range(16):
+                word = int.from_bytes(
+                    block[64 * b + 4 * t:64 * b + 4 * t + 4], "big")
+                bits += [(word >> k) & 1 for k in range(32)]
+            out.append(bits)
+        return out
+
+    src = (open("circom_tpu/circuits/sha256.circom").read()
+           + "\ncomponent main = Sha256(2);\n")
+    cc = compile_source(src)
+    msg = bytes(range(100))  # 100 bytes -> exactly 2 blocks
+    w = cc.witness_host({"in": msg_blocks(msg, 2)})
+    digest = hashlib.sha256(msg).digest()
+    exp = []
+    for j in range(8):
+        word = int.from_bytes(digest[4 * j:4 * j + 4], "big")
+        exp += [(word >> k) & 1 for k in range(32)]
+    assert w[1:257] == exp
