@@ -374,6 +374,13 @@ class Executor:
         self.while_max_unroll = while_max_unroll
         self.tape_guards = []          # active-flags of unrolled whiles
         self.instances_by_path = {}    # witness modes: path -> ComponentState
+        # tape mode: (node_id, const-input pattern) -> replayable recipe
+        # (False = recorded as non-memoizable).  The tape analog of the
+        # reference compiling each unique template instance ONCE
+        # (executed_program.rs identify_node): identical instances fed
+        # symbolic inputs emit identical SSA fragments, so the body is
+        # interpreted once and replayed by node-id substitution after.
+        self.tape_memo = {}
         self.bus_memo = {}             # (bus, params) -> BusLayout
         self.warnings = []
 
@@ -1498,18 +1505,40 @@ class Executor:
             if decl.xtype == A.SignalType.INPUT
         }
         saved = self._witness_path
+        path = f"{saved}.{cs.label}"
+        tmpl = self.archive.templates.get(cs.template)
+        impl = EXTERN_IMPLS.get(cs.template)
+        is_extern = (impl is not None and tmpl is not None
+                     and getattr(tmpl, "is_extern_c", False))
+        key = flat_in = None
+        if self.mode == "tape" and cs.node_id is not None \
+                and not is_extern:
+            flat_in = []
+            for name in sorted(inputs):
+                flat_in.extend(inputs[name].values)
+            key = (cs.node_id, tuple(
+                None if isinstance(v, TapeRef) else v for v in flat_in))
+            rec = self.tape_memo.get(key)
+            if rec is not None and rec is not False:
+                child = self._replay_tape_recipe(rec, flat_in, path)
+                self._splice_child(cs, child, path)
+                return
+        n_guards0 = len(self.tape_guards)
+        n_hints0 = len(self.tape.node_hints) if self.mode == "tape" else 0
+        n_logs0 = len(self.log_sink)
         child = ComponentState()
         child.template = cs.template
         child.params = cs.params
         child.label = cs.label
         child.node_id = cs.node_id
-        path = f"{saved}.{cs.label}"
         self.instances_by_path[path] = child
         self._run_witness_body(child, inputs, path)
-        tmpl = self.archive.templates.get(cs.template)
-        impl = EXTERN_IMPLS.get(cs.template)
-        if impl is not None and tmpl is not None \
-                and getattr(tmpl, "is_extern_c", False):
+        if key is not None:
+            rec = (False if len(self.log_sink) != n_logs0
+                   else self._record_tape_recipe(
+                       child, flat_in, n_guards0, n_hints0))
+            self.tape_memo[key] = rec if rec is not None else False
+        if is_extern:
             if self.mode == "hostwit":
                 self._apply_extern_impl(child, cs, impl, inputs)
             elif self.mode == "tape":
@@ -1523,12 +1552,167 @@ class Executor:
                 # (backend/tape.py compute_extern_columns)
                 self._apply_extern_tape(child, cs, inputs)
         self._witness_path = saved
+        self._splice_child(cs, child, path)
+
+    def _splice_child(self, cs, child, path):
         # splice child's computed signals into the parent-facing state
         for name, decl in child.signals.items():
             cs.signals[name] = decl
         cs.executed = True
         cs.child_instances = child.child_instances
         self.instances_by_path[path] = child
+
+    # -- tape-mode instance recipes --------------------------------------
+    # A recipe re-expresses everything a child execution produced —
+    # emitted SSA nodes, the instance subtree with its signal values,
+    # while-unroll guards, tag range hints — relative to a symbol
+    # alphabet: ("i", k) = k-th flat input ref, ("k", v) = field
+    # constant v, ("n", j) = j-th recipe-internal node.  Replay
+    # re-emits the nodes against fresh input refs (hash-consing dedups
+    # anything structurally shared) and rebuilds the subtree, skipping
+    # the abstract interpretation of the body entirely.
+
+    def _record_tape_recipe(self, child, flat_in, n_guards0, n_hints0):
+        """Symbolize the finished child execution, or None if a value
+        outside the TapeRef/int/None alphabet appears (not replayable)."""
+        tape = self.tape
+        in_pos = {}
+        for k, v in enumerate(flat_in):
+            if isinstance(v, TapeRef):
+                in_pos.setdefault(v.id, k)
+        guards = self.tape_guards[n_guards0:]
+        # roots: every ref in the subtree's signal slices + new guards
+        roots = [g.id for g in guards if isinstance(g, TapeRef)]
+        stack = [child]
+        insts = []
+        while stack:
+            st = stack.pop()
+            insts.append(st)
+            for decl in st.signals.values():
+                for v in decl.slice.values:
+                    if isinstance(v, TapeRef):
+                        roots.append(v.id)
+                    elif v is not None and not isinstance(v, int):
+                        return None
+            stack.extend(st.child_instances.values())
+        # closure down to {input refs, consts}; ids are SSA-ordered so
+        # ascending id order is a topological order
+        seen = set()
+        work = roots[:]
+        internal = []
+        while work:
+            nid = work.pop()
+            if nid in seen or nid in in_pos:
+                continue
+            seen.add(nid)
+            op = tape.ops[nid]
+            if op == "const":
+                continue
+            if op == "input":
+                return None  # foreign input leaked past the boundary
+            internal.append(nid)
+            work.extend(tape.args[nid])
+        internal.sort()
+        pos = {nid: j for j, nid in enumerate(internal)}
+
+        def sym(nid):
+            k = in_pos.get(nid)
+            if k is not None:
+                return ("i", k)
+            if tape.ops[nid] == "const":
+                return ("k", tape.imms[nid])
+            return ("n", pos[nid])
+
+        nodes = [(tape.ops[nid],
+                  tuple(sym(a) for a in tape.args[nid]),
+                  tape.imms[nid]) for nid in internal]
+        hints = []
+        for nid in list(tape.node_hints)[n_hints0:]:
+            if nid in pos:
+                hints.append((("n", pos[nid]), tape.node_hints[nid]))
+        gsyms = [sym(g.id) if isinstance(g, TapeRef) else ("k", g)
+                 for g in guards]
+
+        def enc_val(v):
+            return sym(v.id) if isinstance(v, TapeRef) else v
+
+        def enc_inst(st):
+            sigs = {}
+            for name, d in st.signals.items():
+                sigs[name] = (d.name, d.dims, d.xtype, tuple(d.tags),
+                              dict(d.tag_values), d.layout, d.elem_names,
+                              [enc_val(v) for v in d.slice.values],
+                              list(d.assigned.values))
+            kids = {lbl: enc_inst(c)
+                    for lbl, c in st.child_instances.items()}
+            return (st.template, st.params, st.node_id, st.meta_name,
+                    st.is_anonymous, st.input_tag_values, sigs, kids)
+
+        return (nodes, hints, gsyms, enc_inst(child))
+
+    def _replay_tape_recipe(self, rec, flat_in, path):
+        nodes, hints, gsyms, inst_rec = rec
+        tape = self.tape
+        news = []
+
+        def res(s):
+            t, v = s
+            if t == "i":
+                return flat_in[v]
+            if t == "k":
+                return tape.const(v)
+            return news[v]
+
+        for op, argsyms, imm in nodes:
+            news.append(tape._push(
+                op, tuple(res(a).id for a in argsyms), imm))
+        for s, hint in hints:
+            nid = res(s).id
+            old = tape.node_hints.get(nid)
+            tape.node_hints[nid] = (hint if old is None else
+                                    (max(old[0], hint[0]),
+                                     min(old[1], hint[1])))
+        for s in gsyms:
+            self.tape_guards.append(res(s))
+
+        def dec_val(e):
+            return res(e) if isinstance(e, tuple) else e
+
+        def dec_inst(r, label, ipath):
+            (template, params, node_id, meta_name, is_anon,
+             input_tag_values, sigs, kids) = r
+            st = ComponentState()
+            st.template = template
+            st.params = params
+            st.label = label
+            st.node_id = node_id
+            st.meta_name = meta_name
+            st.is_anonymous = is_anon
+            st.input_tag_values = dict(input_tag_values)
+            st.executed = True
+            st.instantiated = True
+            for name, (dname, dims, xtype, tags, tag_values, layout,
+                       elem_names, vals, assigned) in sigs.items():
+                d = SignalDecl.__new__(SignalDecl)
+                d.name = dname
+                d.dims = dims
+                d.xtype = xtype
+                d.tags = list(tags)
+                d.tag_values = dict(tag_values)
+                d.layout = layout
+                d.elem_names = elem_names
+                n = len(vals)
+                d.slice = Slice((n,), [dec_val(v) for v in vals])
+                d.assigned = Slice((n,), list(assigned))
+                st.signals[name] = d
+            self.instances_by_path[ipath] = st
+            for lbl, kr in kids.items():
+                st.child_instances[lbl] = dec_inst(
+                    kr, lbl, f"{ipath}.{lbl}")
+            return st
+
+        label = path.rsplit(".", 1)[-1]
+        return dec_inst(inst_rec, label, path)
 
     def _record_underscore(self, v, frame):
         if self.mode == "constrain" and frame.builder is not None:

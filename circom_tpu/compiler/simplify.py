@@ -427,15 +427,17 @@ def simplify(dag: DAG, hf: HostField, mode: str = "O1", rounds: int = 0,
     for c in storage:
         used |= c.signals()
     signal_map = {}
-    free = []
+    free = []      # FIFO of freed signal numbers (consumed via fhead:
+    fhead = 0      # a front-pop here is O(n) and this loop is hot)
     for s in range(max_signal):
         if s in deleted:
             free.append(s)
         elif s not in forbidden and s not in used:
             deleted.add(s)
             free.append(s)
-        elif free:
-            new = free.pop(0)
+        elif fhead < len(free):
+            new = free[fhead]
+            fhead += 1
             signal_map[s] = new
             free.append(s)
         else:

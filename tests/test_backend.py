@@ -39,6 +39,8 @@ def run_batched(src, input_batches, unroll_threshold=256):
     arr = prog.encode_inputs(cols)
     out = prog.run(arr)
     got = prog.decode_outputs(out)   # [witness_idx][batch]
+    if tape.n_guards:                # trailing while-unroll guards are
+        got = got[:-tape.n_guards]   # not witness values
     for bi, inputs in enumerate(input_batches):
         expect = cc.witness_host(inputs)
         actual = [got[wi][bi] for wi in range(len(got))]
@@ -412,3 +414,89 @@ component main = T();
     cc = compile_source(src, prime="goldilocks")
     tape, _ = cc.build_tape()
     assert (0, 1) in tape.node_hints.values()
+
+
+def test_tape_instance_memoization(monkeypatch):
+    """Tape mode interprets each unique (instance, const-pattern) body
+    ONCE and replays it by node-id substitution (executor.tape_memo) —
+    the tape analog of the reference compiling each unique template
+    instance once (executed_program.rs identify_node).  The circuit
+    stresses every recipe channel: symbolic + constant inputs
+    (different const patterns are distinct keys), a nested
+    subcomponent (subtree reconstruction), a tagged internal signal
+    (range-hint replay), a data-dependent while (guard replay), and a
+    logging template (side effects force a bail to plain execution)."""
+    from circom_tpu.compiler import executor as ex_mod
+
+    tape_runs = []
+    orig = ex_mod.Executor._run_witness_body
+
+    def counting(self, inst, input_values, path):
+        if self.mode == "tape":
+            tape_runs.append(path)
+        return orig(self, inst, input_values, path)
+
+    monkeypatch.setattr(ex_mod.Executor, "_run_witness_body", counting)
+
+    src = """
+pragma circom 2.0.0;
+template Inner() {
+    signal input x;
+    signal output o;
+    o <== x * x + 1;
+}
+template Gadget() {
+    signal input a;
+    signal input b;
+    signal output out;
+    signal {binary} bit;
+    component i = Inner();
+    i.x <== a + b;
+    bit <-- a & 1;
+    var t = a & 3;   // witness-dependent: predicated while + guard
+    var n = 0;
+    while (t != 0) { t = t \\ 2; n += 1; }
+    signal nsig;
+    nsig <-- n;
+    out <== i.o + bit + nsig;
+}
+template Chatty() {
+    signal input a;
+    signal output out;
+    log("chatty", a);
+    out <== a + 7;
+}
+template Main() {
+    signal input u[4];
+    signal output v[7];
+    component g[6];
+    for (var k = 0; k < 4; k++) {
+        g[k] = Gadget();
+        g[k].a <== u[k];
+        g[k].b <== u[3 - k];
+        v[k] <== g[k].out;
+    }
+    g[4] = Gadget();
+    g[4].a <== 5;          // constant input: distinct const-pattern key
+    g[4].b <== u[0];
+    v[4] <== g[4].out;
+    component c[2];
+    for (var k = 0; k < 2; k++) {
+        c[k] = Chatty();
+        c[k].a <== u[k];
+        v[5 + k] <== c[k].out;
+    }
+}
+component main = Main();
+"""
+    batches = [{"u": [3, 8, 2, 9]}, {"u": [1, 0, 5, 4]}]
+    run_batched(src, batches)
+    # tape-mode bodies actually interpreted: main + first Gadget (with
+    # its nested Inner) + the const-pattern Gadget (whose nested Inner
+    # REPLAYS too: its input 5+u[0] is symbolic, same key as g[0].i)
+    # + both Chatty instances (log -> never memoized).  g[1..3] replay.
+    gadget_runs = [p for p in tape_runs if ".g[" in p]
+    chatty_runs = [p for p in tape_runs if ".c[" in p]
+    assert gadget_runs == ["main.g[0]", "main.g[0].i", "main.g[4]"], \
+        tape_runs
+    assert len(chatty_runs) == 2, tape_runs
