@@ -1056,28 +1056,68 @@ class Executor:
 
     def _check_and_inherit_tags(self, decl, rhe, frame, meta,
                                 strict=False):
-        """Tag flow on assignment (tag_analysis semantics):
+        """Tag flow on assignment (assignment_utils.rs
+        perform_tag_propagation + component_representation.rs
+        handle_tag_assignment_no_init/_init):
 
-        * strict (component-input boundary): every declared tag of the
-          input must be carried by the assigned expression — the tag is a
-          caller obligation; values are inherited.
-        * non-strict (a template's own tagged signal): the declaring
-          template grants the tag; values inherit from a tagged source
-          when available.
+        * strict (component-input boundary): every DECLARED tag of the
+          input is a caller obligation — the assigned expression must
+          carry it (AssignmentMissingTags); values are inherited on the
+          first assignment and must match on later partial assignments
+          (AssignmentTagInputTwice); undeclared extra tags are dropped
+          at the boundary (inputs_tags holds declared tags only).
+        * non-strict (a template's own signal): declared tags persist —
+          the declaring template grants them; tags of a direct signal
+          source are INHERITED even when undeclared (tags.md:38
+          "the tags are always inherited"), with intersection semantics
+          across partial array assignments ("only have a tag in case it
+          inherits the tag in all positions").  A user-fixed tag value
+          (`x.tag = v`) is never overwritten.
         """
-        if not decl.tags:
-            return
         src_tags = self._source_tags(rhe, frame)
-        for t in decl.tags:
-            if decl.tag_values.get(t) is not None:
-                continue  # explicitly valued in this template
-            if src_tags is not None and t in src_tags:
-                decl.tag_values[t] = src_tags[t]
-            elif strict:
-                raise err(
-                    f"input '{decl.name}' requires tag '{t}' but the "
-                    "assigned expression does not carry it", "T2040", meta,
-                )
+        assigned = src_tags or {}
+        if strict:
+            for t in decl.tags:
+                if t not in assigned:
+                    raise err(
+                        f"input '{decl.name}' requires tag '{t}' but the "
+                        "assigned expression does not carry it", "T2040",
+                        meta,
+                    )
+            if not any(decl.assigned.values):
+                for t in decl.tags:
+                    decl.tag_values[t] = assigned[t]
+            else:
+                for t in decl.tags:
+                    if decl.tag_values.get(t) != assigned.get(t):
+                        raise err(
+                            "tags required by an input signal must carry "
+                            f"the same value in every assignment: input "
+                            f"'{decl.name}' already has a different value "
+                            f"for tag '{t}'", "T2040-B", meta,
+                        )
+            return
+        if not decl.tag_values and not assigned:
+            return
+        is_init = any(decl.assigned.values)
+        new_vals = {}
+        for t, v in decl.tag_values.items():
+            if t in decl.tags:            # declared: always kept
+                if t in decl.value_defined:
+                    new_vals[t] = v       # user-fixed value wins
+                elif is_init:
+                    new_vals[t] = v if (t in assigned
+                                        and assigned[t] == v) else None
+                else:
+                    new_vals[t] = assigned.get(t)
+            else:                         # inherited earlier: intersect
+                if t in assigned and assigned[t] == v:
+                    new_vals[t] = v
+        if not is_init:
+            for t, v in assigned.items():
+                if t not in new_vals:
+                    new_vals[t] = v       # first assignment inherits
+        decl.tag_values = new_vals
 
     def _assign_signal(self, s, decl: SignalDecl, frame):
         res = self._resolve_wire(decl, s.access, frame, s.meta)
@@ -1126,6 +1166,7 @@ class Executor:
         if any(decl.assigned.values):
             raise err("tag assigned after signal assignment", "T2062", s.meta)
         decl.tag_values[tag] = k
+        decl.value_defined.add(tag)
         if frame.builder is not None:
             frame.builder.tag_exports.setdefault(decl.name, {})[tag] = k
 

@@ -197,7 +197,7 @@ class SignalDecl:
     """Per-wire metadata within an instance (signal or bus wire)."""
 
     __slots__ = ("name", "dims", "xtype", "tags", "tag_values", "slice",
-                 "assigned", "layout", "elem_names")
+                 "assigned", "layout", "elem_names", "value_defined")
 
     def __init__(self, name, dims, xtype, tags, layout=None):
         self.name = name
@@ -205,6 +205,10 @@ class SignalDecl:
         self.xtype = xtype              # SignalType
         self.tags = list(tags)
         self.tag_values = {t: None for t in tags}
+        # tags whose value was fixed by the user (`x.tag = v`); such a
+        # value is never overwritten by propagation
+        # (assignment_utils.rs TagState.value_defined)
+        self.value_defined = set()
         self.layout = layout            # BusLayout | None
         per = layout.size if layout is not None else 1
         n = per

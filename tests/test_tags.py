@@ -1,0 +1,213 @@
+"""Tag propagation semantics (assignment_utils.rs perform_tag_propagation,
+component_representation.rs handle_tag_assignment_no_init/_init,
+mkdocs tags.md).
+
+The reference's rule set, pinned here:
+* a direct signal substitution inherits ALL the source's tags, even
+  ones the destination never declared (tags.md:38);
+* partial array assignments intersect — the array only keeps a tag
+  carried by every assignment;
+* a user-fixed tag value (`x.tag = v`) is never overwritten by
+  propagation;
+* at a component-input boundary declared tags are obligations
+  (AssignmentMissingTags) and split assignments must agree on the tag
+  value (AssignmentTagInputTwice); undeclared extra tags are dropped.
+"""
+
+from circom_tpu.compiler.pipeline import compile_source
+from test_error_codes import expect, reports_of
+
+P = "pragma circom 2.0.0;\n"
+
+BITIFY = """
+template Bitify() {
+    signal input in;
+    signal output {binary} out;
+    out <== in;
+    in*(in-1) === 0;
+}
+"""
+
+CONSUMER = """
+template Consumer() {
+    signal input {binary} b;
+    signal output out;
+    out <== b;
+}
+"""
+
+
+def test_tags_inherited_through_undeclared_intermediate():
+    # tags.md:38-50 — `intermediate` never declares {binary} but
+    # inherits it, and the chained signal still satisfies the
+    # consumer's obligation.
+    src = P + BITIFY + CONSUMER + """
+template Main() {
+    signal input in;
+    signal mid;
+    signal mid2;
+    component g = Bitify();
+    g.in <== in;
+    mid <== g.out;
+    mid2 <== mid;
+    component c = Consumer();
+    c.b <== mid2;
+    signal output out <== c.out;
+}
+component main = Main();
+"""
+    assert reports_of(src) == []
+
+
+def test_tag_obligation_still_enforced():
+    src = P + CONSUMER + """
+template Main() {
+    signal input in;
+    component c = Consumer();
+    c.b <== in;
+    signal output out <== c.out;
+}
+component main = Main();
+"""
+    expect(src, "T2040")
+
+
+def test_partial_array_assignment_intersects_tags():
+    # mid[0] inherits binary, mid[1] comes from arithmetic (no tags):
+    # the array as a whole loses the tag, so the consumer errors.
+    src = P + BITIFY + """
+template Consumer2() {
+    signal input {binary} b[2];
+    signal output out;
+    out <== b[0] + b[1];
+}
+template Main() {
+    signal input in;
+    signal mid[2];
+    component g = Bitify();
+    g.in <== in;
+    mid[0] <== g.out;
+    mid[1] <== in * in;
+    component c = Consumer2();
+    c.b[0] <== mid[0];
+    c.b[1] <== mid[1];
+    signal output out <== c.out;
+}
+component main = Main();
+"""
+    expect(src, "T2040")
+
+
+def test_valued_tag_inherits_and_reads_through_undeclared_signal():
+    src = P + """
+template Producer(n) {
+    signal input in;
+    signal output {maxbit} out;
+    out.maxbit = n;
+    out <== in;
+}
+template Consumer3() {
+    signal input {maxbit} x;
+    signal output out;
+    out <== x * x.maxbit;
+}
+template Main() {
+    signal input in;
+    signal mid;
+    component p = Producer(8);
+    p.in <== in;
+    mid <== p.out;
+    component c = Consumer3();
+    c.x <== mid;
+    signal output out <== c.out;
+}
+component main = Main();
+"""
+    assert reports_of(src) == []
+    cc = compile_source(src, simplification="O0")
+    # Consumer3 saw maxbit=8: out = x*8, witness x=3 -> out=24
+    w = cc.witness_host({"in": 3})
+    assert w[1] == 24
+
+
+def test_user_fixed_tag_value_not_overwritten():
+    # `out.max = 10` then assigning from a source carrying max=7 keeps
+    # the user-fixed 10 (TagState.value_defined wins).
+    src = P + """
+template Src() {
+    signal input in;
+    signal output {max} out;
+    out.max = 7;
+    out <== in;
+}
+template Main() {
+    signal input in;
+    component s = Src();
+    s.in <== in;
+    signal {max} mid;
+    mid.max = 10;
+    mid <== s.out;
+    signal output out <== mid * mid.max;
+}
+component main = Main();
+"""
+    assert reports_of(src) == []
+    cc = compile_source(src, simplification="O0")
+    w = cc.witness_host({"in": 2})
+    assert w[1] == 20  # mid.max stayed 10
+
+
+def test_split_input_assignment_with_different_tag_values_errors():
+    # AssignmentTagInputTwice: both halves of a tagged input array must
+    # carry the SAME tag value.
+    src = P + """
+template Producer(n) {
+    signal input in;
+    signal output {maxbit} out;
+    out.maxbit = n;
+    out <== in;
+}
+template Consumer4() {
+    signal input {maxbit} x[2];
+    signal output out;
+    out <== x[0] + x[1];
+}
+template Main() {
+    signal input in;
+    component p1 = Producer(8);
+    component p2 = Producer(16);
+    p1.in <== in;
+    p2.in <== in;
+    component c = Consumer4();
+    c.x[0] <== p1.out;
+    c.x[1] <== p2.out;
+    signal output out <== c.out;
+}
+component main = Main();
+"""
+    expect(src, "T2040-B")
+
+
+def test_inherited_tag_flows_out_through_component_output():
+    # An output that inherits a tag (undeclared) exports it to callers:
+    # Wrapper.out gets {binary} from Bitify.out via substitution, and
+    # the outer consumer's obligation is satisfied.
+    src = P + BITIFY + CONSUMER + """
+template Wrapper() {
+    signal input in;
+    signal output out;
+    component g = Bitify();
+    g.in <== in;
+    out <== g.out;
+}
+template Main() {
+    signal input in;
+    component w = Wrapper();
+    w.in <== in;
+    component c = Consumer();
+    c.b <== w.out;
+    signal output out <== c.out;
+}
+component main = Main();
+"""
+    assert reports_of(src) == []
