@@ -35,6 +35,7 @@ from ..utils.reports import Report, ReportCollection
 from .reach import reachable_definitions
 
 _MSG = {
+    "T2004": "Unable to infer the type of this function",
     "T2044": "must be a single arithmetic expression",
     "T2025": "types can't be used as conditions",
     "T2027": "prefix operator with wrong types",
@@ -97,6 +98,13 @@ class TypeCheck:
         self.reports = ReportCollection()
         self._fn_dims = {}      # function -> return dim count | None
         self._fn_busy = set()
+        # functions whose return type is uninferable BECAUSE inference
+        # hit unresolvable (mutual) recursion — the precise condition
+        # under which the reference's type_given_function returns None
+        # and the call site reports UnableToTypeFunction T2004
+        # (type_check.rs:1441-1449)
+        self._fn_rec = set()
+        self._rec_hits = 0
         self._tmpl_io = {}      # template -> {signal: (dims, bus|None)}
 
     # -- reporting -------------------------------------------------------
@@ -200,6 +208,7 @@ class TypeCheck:
         if name in self._fn_dims:
             return self._fn_dims[name]
         if name in self._fn_busy:
+            self._rec_hits += 1
             return None  # recursion
         f = self.archive.functions.get(name)
         if f is None:
@@ -231,12 +240,15 @@ class TypeCheck:
             elif isinstance(s, A.While):
                 walk(s.stmt, sc)
 
+        rec_before = self._rec_hits
         walk(f.body, scope)
         self._fn_busy.discard(name)
         out = None
         known = [d for d in dims if d is not None]
         if known and all(d == known[0] for d in known):
             out = known[0]
+        if out is None and self._rec_hits > rec_before:
+            self._fn_rec.add(name)
         self._fn_dims[name] = out
         return out
 
@@ -300,6 +312,8 @@ class TypeCheck:
                 return ("t", e.id)
             if e.id in self.archive.functions:
                 d = self._function_dims(e.id)
+                if d is None and e.id in self._fn_rec:
+                    rep("T2004", e.meta)
                 return _arith(d) if d is not None else None
             return None
         if isinstance(e, A.BusCall):

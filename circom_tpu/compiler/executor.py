@@ -36,6 +36,26 @@ class FunctionReturn(Exception):
         self.value = value
 
 
+# The tape-recipe codec (_record_tape_recipe/_replay_tape_recipe) encodes
+# SignalDecl and ComponentState field-by-field.  If a slot is added to
+# either class without teaching the codec about it, replayed instances
+# would silently lack it (the round-3 `value_defined` trap) — fail loudly
+# at import time instead.
+_RECIPE_SIGNALDECL_SLOTS = frozenset((
+    "name", "dims", "xtype", "tags", "tag_values", "slice", "assigned",
+    "layout", "elem_names", "value_defined"))
+_RECIPE_COMPONENTSTATE_SLOTS = frozenset((
+    "template", "params", "is_parallel", "label", "node_id", "signals",
+    "inputs_remaining", "executed", "instantiated", "input_tag_values",
+    "child_instances", "meta_name", "pending_inputs", "is_anonymous"))
+assert frozenset(SignalDecl.__slots__) == _RECIPE_SIGNALDECL_SLOTS, \
+    "SignalDecl slots changed: update the tape-recipe codec " \
+    "(_record_tape_recipe/_replay_tape_recipe) and this guard"
+assert frozenset(ComponentState.__slots__) == _RECIPE_COMPONENTSTATE_SLOTS, \
+    "ComponentState slots changed: update the tape-recipe codec " \
+    "(_record_tape_recipe/_replay_tape_recipe) and this guard"
+
+
 # extern_c custom-gate implementations: the TPU-native analog of the
 # reference's external C linkage (templates-and-components.md:204-222).
 # register_extern("A", fn) with fn(params, inputs) -> {output: value}.
@@ -1052,7 +1072,26 @@ class Executor:
             decl = cs.signals.get(sig)
         if decl is None:
             return None
-        return dict(decl.tag_values)
+        # compute_propagated_tags gating (assignment_utils.rs:30-45):
+        # while the source wire still has unassigned positions
+        # (remaining_inserts > 0), inherited (undeclared) tags do NOT
+        # propagate, and declared tags whose value was not user-fixed
+        # propagate with a null value.  Only a fully-assigned source
+        # (or a user-fixed `x.tag = v` value) propagates values.
+        # Subcomponent outputs are exempt: the child has executed, its
+        # outputs are complete (the reference reads their tags from the
+        # component representation, not through this gate).
+        if name in frame.components:
+            remaining = 0
+        else:
+            remaining = sum(1 for a in decl.assigned.values if not a)
+        out = {}
+        for t, v in decl.tag_values.items():
+            if t in decl.value_defined or remaining == 0:
+                out[t] = v
+            elif t in decl.tags:
+                out[t] = None
+        return out
 
     def _check_and_inherit_tags(self, decl, rhe, frame, meta,
                                 strict=False):
@@ -1094,7 +1133,7 @@ class Executor:
                             "tags required by an input signal must carry "
                             f"the same value in every assignment: input "
                             f"'{decl.name}' already has a different value "
-                            f"for tag '{t}'", "T2040-B", meta,
+                            f"for tag '{t}'", "T2040", meta,
                         )
             return
         if not decl.tag_values and not assigned:
@@ -1557,8 +1596,26 @@ class Executor:
             flat_in = []
             for name in sorted(inputs):
                 flat_in.extend(inputs[name].values)
-            key = (cs.node_id, tuple(
-                None if isinstance(v, TapeRef) else v for v in flat_in))
+            # The memo key must capture the call's full input PATTERN,
+            # not just which positions are symbolic: a recorded recipe
+            # bakes in which input positions share a TapeRef (the
+            # recorder maps every position of an aliased ref onto the
+            # first occurrence), so replaying it for a call with a
+            # different aliasing pattern computes the wrong witness.
+            # Canonical aliasing signature: each TapeRef position
+            # becomes ("r", index-of-first-position-with-same-ref);
+            # consts stay literal.  The reference never faces this
+            # because it memoizes CODE per (template,params,tags)
+            # (executed_program.rs:37-49) while wiring stays per-call
+            # in Connexions (executed_template.rs:64-88).
+            first_pos = {}
+            ksig = []
+            for k, v in enumerate(flat_in):
+                if isinstance(v, TapeRef):
+                    ksig.append(("r", first_pos.setdefault(v.id, k)))
+                else:
+                    ksig.append(v)
+            key = (cs.node_id, tuple(ksig))
             rec = self.tape_memo.get(key)
             if rec is not None and rec is not False:
                 child = self._replay_tape_recipe(rec, flat_in, path)
@@ -1683,7 +1740,8 @@ class Executor:
                 sigs[name] = (d.name, d.dims, d.xtype, tuple(d.tags),
                               dict(d.tag_values), d.layout, d.elem_names,
                               [enc_val(v) for v in d.slice.values],
-                              list(d.assigned.values))
+                              list(d.assigned.values),
+                              frozenset(d.value_defined))
             kids = {lbl: enc_inst(c)
                     for lbl, c in st.child_instances.items()}
             return (st.template, st.params, st.node_id, st.meta_name,
@@ -1733,13 +1791,15 @@ class Executor:
             st.executed = True
             st.instantiated = True
             for name, (dname, dims, xtype, tags, tag_values, layout,
-                       elem_names, vals, assigned) in sigs.items():
+                       elem_names, vals, assigned,
+                       value_defined) in sigs.items():
                 d = SignalDecl.__new__(SignalDecl)
                 d.name = dname
                 d.dims = dims
                 d.xtype = xtype
                 d.tags = list(tags)
                 d.tag_values = dict(tag_values)
+                d.value_defined = set(value_defined)
                 d.layout = layout
                 d.elem_names = elem_names
                 n = len(vals)

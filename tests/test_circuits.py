@@ -95,6 +95,60 @@ def test_merkle_inclusion(merkle_cc):
     assert cur == root
 
 
+def test_sha256_tape_digests(sha_cc):
+    """TAPE-path digest parity vs hashlib (the check whose absence let
+    the round-3 memo miscompile ship: test_sha256_against_hashlib only
+    exercises witness_host).  Evaluated with the NativeCalculator so it
+    runs on CPU in seconds — the same path the driver's bench asserts
+    on device at batch 4096."""
+    from circom_tpu.field.primes import field_spec
+    from circom_tpu.native import NativeCalculator
+
+    tape, _ = sha_cc.build_tape()
+    calc = NativeCalculator(tape, field_spec("bn128"))
+    msgs = [b"", b"abc",
+            b"The quick brown fox jumps over the lazy d", b"x" * 55]
+    wits = calc.run([msg_to_bits(m) for m in msgs])
+    for m, w in zip(msgs, wits):
+        assert out_to_digest(w[1:257]).hex() == \
+            hashlib.sha256(m).hexdigest(), m
+
+
+def test_merkle_tape_vs_host(merkle_cc):
+    """Merkle (Poseidon tree) TAPE path vs the host calculator — the
+    second benchmark circuit pinned at the tape level."""
+    from circom_tpu.field.primes import field_spec
+    from circom_tpu.native import NativeCalculator
+
+    tape, layout = merkle_cc.build_tape()
+    calc = NativeCalculator(tape, field_spec("bn128"))
+    ins = {"leaf": 41, "pathElements": [100 + i for i in range(8)],
+           "pathIndex": [1, 0, 1, 1, 0, 0, 1, 0]}
+    flat = []
+    for (name, dims, off) in layout:
+        v = ins[name]
+        flat.extend(v if isinstance(v, list) else [v])
+    got = calc.run([flat])[0]
+    want = merkle_cc.witness_host(ins)
+    assert got[:len(want)] == want
+
+
+def test_poseidon_tape_vs_host():
+    """Poseidon2 TAPE path vs host for several inputs."""
+    from circom_tpu.field.primes import field_spec
+    from circom_tpu.native import NativeCalculator
+
+    src = gen_poseidon((2,)) + "\ncomponent main = Poseidon2();\n"
+    cc = compile_source(src)
+    tape, _ = cc.build_tape()
+    calc = NativeCalculator(tape, field_spec("bn128"))
+    cases = [[0, 0], [1, 2], [cc.p - 1, 12345]]
+    wits = calc.run(cases)
+    for ins, w in zip(cases, wits):
+        want = cc.witness_host({"inputs": ins})
+        assert w[:len(want)] == want
+
+
 def test_sha256_multiblock_chain():
     """Sha256(nBlocks) chains Sha256Compress over the padded message
     blocks (the scale axis: one memoized compression instance, witness

@@ -185,7 +185,7 @@ template Main() {
 }
 component main = Main();
 """
-    expect(src, "T2040-B")
+    expect(src, "T2040")
 
 
 def test_inherited_tag_flows_out_through_component_output():
@@ -211,3 +211,87 @@ template Main() {
 component main = Main();
 """
     assert reports_of(src) == []
+
+
+def test_partially_assigned_source_drops_inherited_tag():
+    """compute_propagated_tags gating (assignment_utils.rs:30-45): an
+    element read from a HALF-assigned array must not carry the array's
+    inherited {binary} tag — the reference only propagates tags from a
+    fully-assigned source (remaining_inserts == 0), so the component
+    input obligation below fails with AssignmentMissingTags."""
+    src = P + BITIFY + CONSUMER + """
+template Main() {
+    signal input x;
+    signal output out;
+    component b = Bitify();
+    b.in <== x;
+    signal arr[2];
+    arr[0] <== b.out;          // arr inherits {binary} from b.out ...
+    component c = Consumer();
+    c.b <== arr[0];            // ... but arr[1] is still unassigned
+    out <== c.out;
+    arr[1] <== b.out;
+}
+component main = Main();
+"""
+    expect(src, "T2040")
+
+
+def test_partially_assigned_source_nulls_declared_value():
+    """A DECLARED-but-not-user-fixed tag on a half-assigned array is
+    still carried (state.defined branch of compute_propagated_tags)
+    but its VALUE propagates as null until the source is fully
+    assigned — so the consumer's declared-tag obligation is met while
+    a value read would fail."""
+    src = P + """
+template Pack(n) {
+    signal input in[n];
+    signal output {maxbit} out[n];
+    out.maxbit = 8;
+    for (var k = 0; k < n; k++) { out[k] <== in[k]; }
+}
+template NeedVal() {
+    signal input {maxbit} v;
+    signal output o;
+    o <== v;
+}
+template Main() {
+    signal input x;
+    signal output out;
+    component p = Pack(2);
+    p.in[0] <== x;
+    p.in[1] <== x;
+    signal {maxbit} mid[2];
+    mid[0] <== p.out[0];
+    component n = NeedVal();
+    n.v <== mid[0];            // mid half-assigned: maxbit value is null
+    out <== n.o;
+    mid[1] <== p.out[1];
+}
+component main = Main();
+"""
+    cc = compile_source(src)
+    w = cc.witness_host({"x": 7})
+    assert w[1] == 7
+
+
+def test_fully_assigned_source_propagates_value():
+    """Control: once the source array is FULLY assigned, both the
+    inherited tag and its value propagate (remaining_inserts == 0)."""
+    src = P + BITIFY + CONSUMER + """
+template Main() {
+    signal input x;
+    signal output out;
+    component b = Bitify();
+    b.in <== x;
+    signal arr[2];
+    arr[0] <== b.out;
+    arr[1] <== b.out;
+    component c = Consumer();
+    c.b <== arr[0];            // arr fully assigned: {binary} flows
+    out <== c.out;
+}
+component main = Main();
+"""
+    cc = compile_source(src)
+    assert cc.witness_host({"x": 1})[1] == 1

@@ -260,3 +260,40 @@ component main = T();
 """
     cs = codes_of(src)
     assert "BU04" in cs and "T2032" in cs
+
+
+def test_unable_to_type_function_t2004():
+    """Mutually recursive functions whose return type never resolves:
+    the reference's type_given_function returns None and the call site
+    reports UnableToTypeFunction (type_check.rs:1441-1449)."""
+    src = """
+pragma circom 2.0.0;
+function f(n) { return g(n); }
+function g(n) { return f(n); }
+template T() {
+    signal output o;
+    o <== f(3);
+}
+component main = T();
+"""
+    assert "T2004" in codes_of(src)
+
+
+def test_resolvable_recursion_no_t2004():
+    """Recursion with a base case resolves (reference infers type 0);
+    no T2004."""
+    src = """
+pragma circom 2.0.0;
+function fact(n) {
+    if (n == 0) { return 1; }
+    return n * fact(n - 1);
+}
+template T() {
+    signal output o;
+    o <== fact(4);
+}
+component main = T();
+"""
+    from circom_tpu.compiler.pipeline import compile_source as cs
+    cc = cs(src)
+    assert cc.witness_host({})[1] == 24
