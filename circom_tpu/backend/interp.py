@@ -783,6 +783,41 @@ class InterpreterProgram:
         out_set = set(x for x in self.xt.out_ids
                       if xt.kind[x] == "compute")
 
+        # --- deferred from-Mont emission pass ---------------------------
+        # Poseidon-class circuits spend ~40% of their steps on
+        # emission-only Montgomery output conversions (montmul(x, 1) =
+        # REDC(x)); the reference's runtimes pay the same conversion
+        # per witness store (Fr_toLongNormal, main.cpp:211-212).  Here
+        # each such mul_one step is DELETED: the producer's Montgomery
+        # row is emitted raw and the kernel REDCs the whole emission
+        # block once per chunk as a single (K+1, 8, bb)-slab op under a
+        # per-row mask — one traced body, no per-step dispatch, no
+        # extra HBM traffic (the block is still in VMEM).
+        defer_src = {}      # conversion node -> producer node
+        producers = set()
+        if not xt.plain:
+            used = {}
+            for (op, a, b, c, _i, _aux) in steps:
+                for x in (a, b, c):
+                    if isinstance(x, int):
+                        used[x] = used.get(x, 0) + 1
+            kept = []
+            for st in steps:
+                (op, a, b, _c, i, _aux) = st
+                if (op == "mul_one" and i in out_set
+                        and used.get(i, 0) == 0
+                        and isinstance(a, int)
+                        and xt.kind[a] == "compute"
+                        and a not in out_set
+                        and not node_narrow.get(a, False)):
+                    defer_src[i] = a
+                    out_set.add(a)
+                    producers.add(a)
+                    continue
+                kept.append(st)
+            steps = kept
+        self.defer_src = defer_src
+
         steps = self._schedule_runs(steps)
 
         # --- register allocation ---------------------------------------
@@ -858,6 +893,7 @@ class InterpreterProgram:
         chunk = 0
         wit_rows = {}    # node -> (chunk, row) in the wide stream
         wit_rows_n = {}  # node -> (chunk, row) in the narrow stream
+        mont_rows = set()  # (chunk, row): Montgomery rows REDC'd in-kernel
         for t, (op, a, b, c, i, aux) in enumerate(steps):
             for (fl, r) in expire[t]:
                 (free_n if fl else free_w).append(r)
@@ -898,6 +934,8 @@ class InterpreterProgram:
                 emit_n += 1
             elif emits:
                 wit_rows[i] = (chunk, emit_w)
+                if i in producers:
+                    mont_rows.add((chunk, emit_w))
                 em = emit_w
                 emit_w += 1
             else:
@@ -922,6 +960,14 @@ class InterpreterProgram:
         self.starts = np.asarray(starts, np.int32)
         self.n_chunks = len(starts) - 1
         self.n_steps = len(steps)
+        # per-emission-row Montgomery flags for the in-kernel trailing
+        # REDC slab (deferred from-Mont pass above)
+        mont_tab = np.zeros((self.n_chunks * (K + 1),), np.int32)
+        for (g, r) in mont_rows:
+            mont_tab[g * (K + 1) + r] = 1
+        self.mont_tab = mont_tab
+        self.mont_any = bool(mont_tab.any())
+        self.n_mont_rows = int(mont_tab.sum())
         # run tables: maximal same-opcode step ranges within a chunk;
         # the kernel dispatches ONE lax.switch per run
         starts_at = {s: c for c, s in enumerate(starts[:-1])}
@@ -977,6 +1023,10 @@ class InterpreterProgram:
                 self.wit_src.append(("input", xt.iidx[nid]))
             elif nid in wit_rows_n:
                 self.wit_src.append(("emitn", *wit_rows_n[nid]))
+            elif nid in defer_src:
+                # deferred conversion: the producer's row IS canonical
+                # after the kernel's trailing REDC slab
+                self.wit_src.append(("emit", *wit_rows[defer_src[nid]]))
             else:
                 self.wit_src.append(("emit", *wit_rows[nid]))
 
@@ -1112,8 +1162,8 @@ class InterpreterProgram:
         n_cc = self.call_chunks
 
         def kernel(rstarts_ref, ropc_ref, rs0_ref, ia_ref, ib_ref,
-                   ic_ref, dst_ref, em_ref, aux_ref, cb_ref, in_ref,
-                   inn_ref, *rest):
+                   ic_ref, dst_ref, em_ref, aux_ref, cb_ref, mont_ref,
+                   in_ref, inn_ref, *rest):
             if handoff:
                 (rfw_in, rfn_in, out_ref, out_n_ref, rfw_out, rfn_out,
                  rf, rf_n, sem) = rest
@@ -1487,6 +1537,25 @@ class InterpreterProgram:
             lax.fori_loop(rstarts_ref[c], rstarts_ref[c + 1],
                           run_body, 0)
 
+            if self.mont_any:
+                # trailing REDC pass: convert this chunk's flagged
+                # Montgomery emission rows to canonical in place
+                # (montmul(x, 1) == REDC(x)), row-by-row gated by the
+                # prefetched mont table — replaces one interpreted
+                # mul_one step per witness value (deferred from-Mont
+                # pass in _plan): no switch dispatch, no operand
+                # tables, static limb addressing within the row.
+                def redc_row(r, carry):
+                    @pl.when(mont_ref[c * (K + 1) + r] != 0)
+                    def _():
+                        rows = [out_ref[0, r, i] for i in range(L)]
+                        red = em.mont_reduce_rows(rows, zero)
+                        for i in range(L):
+                            out_ref[0, r, i] = red[i]
+                    return carry
+
+                lax.fori_loop(0, K + 1, redc_row, 0)
+
             if handoff:
                 @pl.when(c == n_cc - 1)
                 def _():
@@ -1796,7 +1865,7 @@ class InterpreterProgram:
                 # 1D tables only: SMEM pads the minor dim to 128
                 # lanes, so a (n,6) table costs 512B/row (measured
                 # OOM at 1879 steps); 1D arrays cost 4B/step.
-                num_scalar_prefetch=10,
+                num_scalar_prefetch=11,
                 grid=(pl.cdiv(B8, bb), self.n_chunks),
                 in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
                                        lambda g, c, *_: (0, 0, 0, g),
@@ -1833,7 +1902,7 @@ class InterpreterProgram:
               np.ascontiguousarray(t[:, 4]),
               np.ascontiguousarray(t[:, 5]),
               np.ascontiguousarray(t[:, 6]),
-              self.cbank.reshape(-1), x_w, x_n)
+              self.cbank.reshape(-1), self.mont_tab, x_w, x_n)
             return (emits.reshape(self.n_chunks * (K + 1), L, 8, B8),
                     emits_n.reshape(self.n_chunks * (KN + 1), 8, B8))
         # multi-call paging: each call interprets a table slice
@@ -1843,7 +1912,7 @@ class InterpreterProgram:
         CR = self.call_runs
         kernel = self._make_kernel(bb, whole=(B8 == bb))
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=10,
+            num_scalar_prefetch=11,
             grid=(pl.cdiv(B8, bb), CC),
             in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
                                    lambda g, c, *_: (0, 0, 0, g),
@@ -1885,6 +1954,9 @@ class InterpreterProgram:
             seg = self.rstarts[a:b + 1] - r0
             rst[:len(seg)] = seg
             rst[len(seg):] = seg[-1]
+            mont_call = np.zeros((CC * (K + 1),), np.int32)
+            mont_call[:(b - a) * (K + 1)] = \
+                self.mont_tab[a * (K + 1):b * (K + 1)]
             emits_i, emits_ni, rf_w, rf_nn = pl.pallas_call(
                 kernel,
                 out_shape=(
@@ -1903,7 +1975,8 @@ class InterpreterProgram:
               np.ascontiguousarray(tb[:, 4]),
               np.ascontiguousarray(tb[:, 5]),
               np.ascontiguousarray(tb[:, 6]),
-              self.cbank.reshape(-1), x_w, x_n, rf_w, rf_nn)
+              self.cbank.reshape(-1), mont_call,
+              x_w, x_n, rf_w, rf_nn)
             parts.append(emits_i.reshape(CC * (K + 1), L, 8, B8))
             parts_n.append(emits_ni.reshape(CC * (KN + 1), 8, B8))
         return (jnp.concatenate(parts, axis=0),
