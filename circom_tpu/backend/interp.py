@@ -27,12 +27,18 @@ path, whose ~270 us/op dispatch+DMA floor measured 128k wit/s on
 Poseidon2 at batch 64k).
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# perf-ablation knobs (timing experiments only — results are WRONG when
+# set): comma list of {noemit, noredc, nostep, nowrite}
+_ABLATE = set(filter(None, os.environ.get("CTPU_ABLATE", "").split(",")))
 
 from ..field.primes import LIMB_BITS, FieldSpec
 from ..ops.limbs import int_to_limbs
@@ -60,7 +66,7 @@ _CMP = {"eq", "neq", "lt", "le", "gt", "ge", "land", "lor"}
 # opcodes whose result lives in the narrow int32 register file
 _NARROW_RESULT = (
     {"nmul", "nadd", "nsub", "nsel", "nsel_w", "nband", "nbor", "nbxor",
-     "nshl", "nshr", "nband_w", "lnot_n", "lnot_w", "nidiv"}
+     "nshl", "nshr", "nband_w", "lnot_n", "lnot_w", "nidiv", "ncopy"}
     | {f"{o}_nn" for o in _CMP} | {f"{o}_ww" for o in _CMP}
 )
 
@@ -71,7 +77,7 @@ _OPERAND_FILES = {
     "nsub": ("n", "n", "w"), "nband": ("n", "n", "w"),
     "nbor": ("n", "n", "w"), "nbxor": ("n", "n", "w"),
     "nsel": ("n", "n", "n"), "nsel_w": ("w", "n", "n"),
-    "nidiv": ("n", "n", "w"),
+    "nidiv": ("n", "n", "w"), "ncopy": ("n", "n", "w"),
     "nshl": ("n", "w", "w"), "nshr": ("n", "w", "w"),
     "nband_w": ("w", "w", "w"), "widen": ("n", "w", "w"),
     "lnot_n": ("n", "w", "w"), "lnot_w": ("w", "w", "w"),
@@ -818,6 +824,33 @@ class InterpreterProgram:
             steps = kept
         self.defer_src = defer_src
 
+        # --- witness passthrough copies ---------------------------------
+        # input/const witness rows get explicit copy steps so EVERY
+        # witness value is an emission row: the device-side unblock
+        # gather then reads one homogeneous bank (no concatenated
+        # input/const side banks, which cost a full extra HBM pass).
+        for nid in dict.fromkeys(self.xt.out_ids):
+            k = xt.kind[nid]
+            if k == "compute":
+                continue
+            if k == "const":
+                v = xt.cval[nid]
+                if nfits(v):
+                    # int32-fitting consts ride the narrow stream: a
+                    # wide copy would open a wide emission buffer
+                    # (2(K+2)L VMEM tiles) just for them on otherwise
+                    # pure-narrow circuits (SHA)
+                    steps.append(("ncopy", ("nmat", nmaterialize(v)),
+                                  None, None, nid, None))
+                else:
+                    steps.append(("copyw", ("mat", materialize(v)),
+                                  None, None, nid, None))
+            elif xt.iidx[nid] in self.nin_of:
+                steps.append(("ncopy", nid, None, None, nid, None))
+            else:
+                steps.append(("copyw", nid, None, None, nid, None))
+            out_set.add(nid)
+
         steps = self._schedule_runs(steps)
 
         # --- register allocation ---------------------------------------
@@ -912,8 +945,10 @@ class InterpreterProgram:
                     cols.append(0)
                 else:
                     cols.append(operand_reg(x, f == "n"))
-            # destination
-            if i in last_use and last_use[i] > t:
+            # destination (passthrough-copy steps of input/const nodes
+            # never allocate: operands resolve to input/const slots)
+            if i in last_use and last_use[i] > t \
+                    and xt.kind[i] == "compute":
                 if dst_narrow:
                     r = free_n.pop() if free_n else n_nfixed + n_dyn_n
                     if r == n_nfixed + n_dyn_n:
@@ -1013,22 +1048,23 @@ class InterpreterProgram:
         for r, v in enumerate(bank_vals):
             cb[r] = int_to_limbs(v, L).astype(np.int32)
         self.cbank = cb
-        # witness source map
+        # witness source map (everything is an emission row by
+        # construction — the passthrough-copy pass above; const/input
+        # fallbacks retained for the zero-step tape edge case)
         self.wit_src = []
         for nid in self.xt.out_ids:
-            k = xt.kind[nid]
-            if k == "const":
-                self.wit_src.append(("const", xt.cval[nid]))
-            elif k == "input":
-                self.wit_src.append(("input", xt.iidx[nid]))
-            elif nid in wit_rows_n:
+            if nid in wit_rows_n:
                 self.wit_src.append(("emitn", *wit_rows_n[nid]))
             elif nid in defer_src:
                 # deferred conversion: the producer's row IS canonical
                 # after the kernel's trailing REDC slab
                 self.wit_src.append(("emit", *wit_rows[defer_src[nid]]))
-            else:
+            elif nid in wit_rows:
                 self.wit_src.append(("emit", *wit_rows[nid]))
+            elif xt.kind[nid] == "const":
+                self.wit_src.append(("const", xt.cval[nid]))
+            else:
+                self.wit_src.append(("input", xt.iidx[nid]))
 
     # ------------------------------------------------------------------
     def _schedule_runs(self, steps):
@@ -1045,9 +1081,11 @@ class InterpreterProgram:
         n = len(steps)
         if n == 0:
             return steps
+        kind = self.xt.kind
         prod = {}
         for t, st in enumerate(steps):
-            prod[st[4]] = t
+            if kind[st[4]] == "compute":
+                prod[st[4]] = t
         consumers = [[] for _ in range(n)]
         indeg = [0] * n
         for t, st in enumerate(steps):
@@ -1144,7 +1182,7 @@ class InterpreterProgram:
         return order
 
     # ------------------------------------------------------------------
-    def _make_kernel(self, bb, whole=False):
+    def _make_kernel(self, bb):
         L = self.L
         em = self.em
         K = self.K
@@ -1179,21 +1217,19 @@ class InterpreterProgram:
             def _():
                 if handoff:
                     # restore the register files from the previous call
-                    # (whole-ref copies when the batch block covers the
-                    # array: Mosaic rejects minor-dim slices in VMEM)
-                    src_w = rfw_in if whole else \
-                        rfw_in.at[:, :, :, pl.ds(g * bb, bb)]
-                    src_n = rfn_in if whole else \
-                        rfn_in.at[:, :, pl.ds(g * bb, bb)]
-                    cp = pltpu.make_async_copy(src_w, rf, sem.at[0])
+                    # (batch-block-major HBM layout: .at[g] slices are
+                    # contiguous, one DMA descriptor per file)
+                    cp = pltpu.make_async_copy(rfw_in.at[g], rf,
+                                               sem.at[0])
                     cp.start()
-                    cp2 = pltpu.make_async_copy(src_n, rf_n, sem.at[1])
+                    cp2 = pltpu.make_async_copy(rfn_in.at[g], rf_n,
+                                                sem.at[1])
                     cp2.start()
                     cp.wait()
                     cp2.wait()
                 for k in range(n_win):
                     for i in range(L):
-                        rf[k, i] = in_ref[k, i]
+                        rf[k, i] = in_ref[0, k, i]
                 if hbm_nin:
                     # narrow inputs live in HBM pre-sliced per batch
                     # block; DMA them straight into their rf_n slots
@@ -1204,7 +1240,7 @@ class InterpreterProgram:
                     cpi.wait()
                 else:
                     for k in range(n_nin):
-                        rf_n[k] = inn_ref[k]
+                        rf_n[k] = inn_ref[0, k]
                 for (reg, limbs) in mat_loads:
                     for i in range(L):
                         rf[reg, i] = jnp.full((8, bb), np.uint32(limbs[i]),
@@ -1379,7 +1415,9 @@ class InterpreterProgram:
                             for j in range(L)]
 
                 def wbranch(op):
-                    if op == "widen":
+                    if op == "copyw":
+                        rows = [rf[ia, i2] for i2 in range(L)]
+                    elif op == "widen":
                         rows = widen_rows()
                     elif op == "idiv":
                         rows = idiv_rows()
@@ -1431,6 +1469,8 @@ class InterpreterProgram:
 
                 def nbranch(op):
                     na = rf_n[ia]
+                    if op == "ncopy":
+                        return na
                     if op == "nmul":
                         return na * rf_n[ib]
                     if op == "nadd":
@@ -1493,14 +1533,20 @@ class InterpreterProgram:
                     return jnp.broadcast_to(rows[0], (8, bb)) \
                         .astype(jnp.int32)
 
+                if "nostep" in _ABLATE:
+                    return
                 if op in _NARROW_RESULT:
                     res = nbranch(op)
-                    rf_n[dst] = res
-                    out_n_ref[0, em_ref[t]] = res
+                    if "nowrite" not in _ABLATE:
+                        rf_n[dst] = res
+                    if "noemit" not in _ABLATE:
+                        out_n_ref[0, em_ref[t]] = res
                 else:
                     res = wbranch(op)
-                    rf[dst] = res
-                    out_ref[0, em_ref[t]] = res
+                    if "nowrite" not in _ABLATE:
+                        rf[dst] = res
+                    if "noemit" not in _ABLATE:
+                        out_ref[0, em_ref[t]] = res
 
             # one switch per same-opcode RUN; the op is static inside
             # each branch's step loop (dispatch amortized over the run)
@@ -1534,10 +1580,11 @@ class InterpreterProgram:
                     lax.switch(opc, [stepper(op) for op in opset_n])
                 return carry
 
-            lax.fori_loop(rstarts_ref[c], rstarts_ref[c + 1],
-                          run_body, 0)
+            if "noloop" not in _ABLATE:
+                lax.fori_loop(rstarts_ref[c], rstarts_ref[c + 1],
+                              run_body, 0)
 
-            if self.mont_any:
+            if self.mont_any and "noredc" not in _ABLATE:
                 # trailing REDC pass: convert this chunk's flagged
                 # Montgomery emission rows to canonical in place
                 # (montmul(x, 1) == REDC(x)), row-by-row gated by the
@@ -1559,13 +1606,11 @@ class InterpreterProgram:
             if handoff:
                 @pl.when(c == n_cc - 1)
                 def _():
-                    dst_w = rfw_out if whole else \
-                        rfw_out.at[:, :, :, pl.ds(g * bb, bb)]
-                    dst_n = rfn_out if whole else \
-                        rfn_out.at[:, :, pl.ds(g * bb, bb)]
-                    cp = pltpu.make_async_copy(rf, dst_w, sem.at[0])
+                    cp = pltpu.make_async_copy(rf, rfw_out.at[g],
+                                               sem.at[0])
                     cp.start()
-                    cp2 = pltpu.make_async_copy(rf_n, dst_n, sem.at[1])
+                    cp2 = pltpu.make_async_copy(rf_n, rfn_out.at[g],
+                                                sem.at[1])
                     cp2.start()
                     cp.wait()
                     cp2.wait()
@@ -1590,9 +1635,9 @@ class InterpreterProgram:
             else jnp.zeros((1, L, 8, B8), jnp.uint32)
         K = self.K
 
+        interp = (not on_tpu()) \
+            if self.interpret is None else self.interpret
         if self.n_steps:
-            interp = (not on_tpu()) \
-                if self.interpret is None else self.interpret
             # split inputs: wide ones feed the limb register file, range-
             # hinted narrow ones convert to int32 (exact: value < 2^31)
             order_w = sorted(self.win_of, key=self.win_of.get)
@@ -1619,20 +1664,24 @@ class InterpreterProgram:
                                      interp)
                     for s0 in range(0, B8, bb)
                 ]
-                flat = jnp.concatenate([p[0] for p in parts_b], axis=-1)
+                flat = jnp.concatenate([p[0] for p in parts_b], axis=0)
                 flat_n = jnp.concatenate([p[1] for p in parts_b],
-                                         axis=-1)
+                                         axis=0)
             else:
                 flat, flat_n = self._exec_block(x_w, x_n, B8, bb, interp)
+            bb_g = flat.shape[-1]
         else:
-            flat = jnp.zeros((1, L, 8, B8), jnp.uint32)
-            flat_n = jnp.zeros((1, 8, B8), jnp.int32)
+            bb_g = B8
+            flat = jnp.zeros((1, 1, L, 8, B8), jnp.uint32)
+            flat_n = jnp.zeros((1, 1, 8, B8), jnp.int32)
+        G = B8 // bb_g
 
-        # gather emissions/inputs/consts into witness order
+        # gather emissions/inputs/consts into witness order (all banks
+        # in the batch-block-major layout; the final gather un-blocks)
         const_rows = []
         const_pos = {}
         idx = []
-        n_flat = flat.shape[0]
+        n_flat = flat.shape[1]
         KN = self.KN
         if self.n_steps and len(self.calls) > 1:
             CC = self.call_chunks
@@ -1677,7 +1726,19 @@ class InterpreterProgram:
         for w_i, src in enumerate(self.wit_src):
             if src[0] == "emitn":
                 idx[w_i] = n_const0 + n_const + pos_n[(src[1], src[2])]
-        banks = [flat, x]
+        if self.n_steps and not interp and not idx_n and not const_rows \
+                and all(s[0] == "emit" for s in self.wit_src):
+            # fast path: one Pallas gather+un-block pass over the
+            # emission bank (everything is an emission row by plan
+            # construction)
+            wit = self._unblock_gather_w(flat, idx)
+            return wit.reshape(len(idx), L, Bp)[..., :B]
+        # general path (CPU/interpret, or narrow rows widened into the
+        # wide witness): un-block the banks, then XLA gather
+        flat_u = jnp.moveaxis(flat, 0, 3).reshape(n_flat, L, 8, B8)
+        flat_n_u = jnp.moveaxis(flat_n, 0, 2).reshape(
+            flat_n.shape[1], 8, B8)
+        banks = [flat_u, x]
         if const_rows:
             cb = jnp.broadcast_to(
                 jnp.asarray(np.stack(const_rows))[:, :, None, None],
@@ -1686,7 +1747,7 @@ class InterpreterProgram:
         else:
             banks.append(jnp.zeros((0, L, 8, B8), jnp.uint32))
         if idx_n:
-            sel_n = jnp.take(flat_n, jnp.asarray(idx_n, np.int32),
+            sel_n = jnp.take(flat_n_u, jnp.asarray(idx_n, np.int32),
                              axis=0)
             banks.append(self._widen_narrow(sel_n))
         big = jnp.concatenate(banks, axis=0)
@@ -1727,30 +1788,49 @@ class InterpreterProgram:
                 x_n = x_n | (xs[:, 1].astype(jnp.int32) << LIMB_BITS)
         else:
             x_n = jnp.zeros((1, 8, B8), jnp.int32)
+        interp = (not on_tpu()) \
+            if self.interpret is None else self.interpret
         if self.n_steps:
-            interp = (not on_tpu()) \
-                if self.interpret is None else self.interpret
             flat, flat_n = self._exec_block(x_w, x_n, B8, bb, interp)
         else:
-            flat = jnp.zeros((1, L, 8, B8), jnp.uint32)
-            flat_n = jnp.zeros((1, 8, B8), jnp.int32)
+            flat = jnp.zeros((1, 1, L, 8, B8), jnp.uint32)
+            flat_n = jnp.zeros((1, 1, 8, B8), jnp.int32)
         (nw_src, wd_src), _ = self._mixed_split()
-        narrow = jnp.take(
-            jnp.concatenate([flat_n, x_n], axis=0),
-            jnp.asarray(nw_src, np.int32), axis=0) if nw_src else \
-            jnp.zeros((0, 8, B8), jnp.int32)
-        const_rows = [np.asarray(int_to_limbs(v, L))
-                      for v in self._mixed_consts]
-        banks = [flat, x_w]
-        if const_rows:
-            banks.append(jnp.broadcast_to(
-                jnp.asarray(np.stack(const_rows))[:, :, None, None],
-                (len(const_rows), L, 8, B8)))
-        wide = jnp.take(jnp.concatenate(banks, axis=0),
-                        jnp.asarray(wd_src, np.int32), axis=0) \
-            if wd_src else jnp.zeros((0, L, 8, B8), jnp.uint32)
-        return (narrow.reshape(narrow.shape[0], Bp)[:, :B],
-                wide.reshape(wide.shape[0], L, Bp)[..., :B])
+        n_fw, n_fn = flat.shape[1], flat_n.shape[1]
+        fast = self.n_steps and not interp \
+            and "noplgather" not in _ABLATE
+        if nw_src:
+            if fast and all(s < n_fn for s in nw_src):
+                narrow = self._unblock_gather_n(flat_n, nw_src)
+                narrow = narrow.reshape(len(nw_src), Bp)[:, :B]
+            else:
+                fn_u = jnp.moveaxis(flat_n, 0, 2).reshape(n_fn, 8, B8)
+                narrow = jnp.take(
+                    jnp.concatenate([fn_u, x_n], axis=0),
+                    jnp.asarray(nw_src, np.int32), axis=0)
+                narrow = narrow.reshape(len(nw_src), Bp)[:, :B]
+        else:
+            narrow = jnp.zeros((0, B), jnp.int32)
+        if wd_src:
+            if fast and all(s < n_fw for s in wd_src):
+                wide = self._unblock_gather_w(flat, wd_src)
+                wide = wide.reshape(len(wd_src), L, Bp)[..., :B]
+            else:
+                const_rows = [np.asarray(int_to_limbs(v, L))
+                              for v in self._mixed_consts]
+                fl_u = jnp.moveaxis(flat, 0, 3).reshape(n_fw, L, 8, B8)
+                banks = [fl_u, x_w]
+                if const_rows:
+                    banks.append(jnp.broadcast_to(
+                        jnp.asarray(np.stack(const_rows))[:, :, None,
+                                                          None],
+                        (len(const_rows), L, 8, B8)))
+                wide = jnp.take(jnp.concatenate(banks, axis=0),
+                                jnp.asarray(wd_src, np.int32), axis=0)
+                wide = wide.reshape(len(wd_src), L, Bp)[..., :B]
+        else:
+            wide = jnp.zeros((0, L, B), jnp.uint32)
+        return (narrow, wide)
 
     def _mixed_split(self):
         """Classify wit_src into (narrow bank rows, wide bank rows) and
@@ -1838,47 +1918,59 @@ class InterpreterProgram:
         zero = jnp.zeros_like(lo)
         rpos = [lo, hi] + [zero] * (L - 2)
         rows = [jnp.where(neg, rneg[i], rpos[i]) for i in range(L)]
-        return jnp.stack(rows, axis=1)
+        return jnp.stack(rows, axis=-3)
 
     def _exec_block(self, x_w, x_n, B8, bb, interp):
         """Run the interpreter kernel(s) on one batch group; returns
-        (wide emissions (rows, L, 8, B8) uint32,
-         narrow emissions (rows_n, 8, B8) int32)."""
+        (wide emissions (G, rows, L, 8, bb) uint32,
+         narrow emissions (G, rows_n, 8, bb) int32), G = B8 // bb.
+
+        Everything the grid streams is laid out batch-block-major so
+        every Pallas block is CONTIGUOUS in HBM: the (1, K+1, L, 8, bb)
+        emission window of the old (chunks, K+1, L, 8, B8) layout was
+        K·L·8 separate 4·bb-byte strided segments, and the per-segment
+        DMA descriptor cost (~20 ns each, measured) dominated the whole
+        kernel (~80 us/grid-cell on Poseidon2 — 25 of 47 ms with the
+        interpreter loop ablated to empty)."""
         L = self.L
         K = self.K
         KN = self.KN
         t = self.table
         n_win_b = max(self.n_win, 1)
         n_nin_b = max(self.n_nin, 1)
+        G = B8 // bb
+        # pre-block inputs: (G, n, ..., bb) so each grid block reads one
+        # contiguous slab
+        x_w = jnp.moveaxis(x_w.reshape(n_win_b, L, 8, G, bb), 3, 0)
+        x_n = jnp.moveaxis(x_n.reshape(n_nin_b, 8, G, bb), 2, 0)
         if self.hbm_nin:
-            # pre-slice narrow inputs per batch block for in-kernel DMA
-            G = B8 // bb
-            x_n = jnp.transpose(
-                x_n.reshape(n_nin_b, 8, G, bb), (2, 0, 1, 3))
+            # narrow inputs stay in HBM and DMA straight into rf_n
             inn_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
         else:
-            inn_spec = pl.BlockSpec((n_nin_b, 8, bb),
-                                    lambda g, c, *_: (0, 0, g),
+            inn_spec = pl.BlockSpec((1, n_nin_b, 8, bb),
+                                    lambda g, c, *_: (g, 0, 0, 0),
                                     memory_space=pltpu.VMEM)
+        in_spec = pl.BlockSpec((1, n_win_b, L, 8, bb),
+                               lambda g, c, *_: (g, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
         if len(self.calls) == 1:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 # 1D tables only: SMEM pads the minor dim to 128
                 # lanes, so a (n,6) table costs 512B/row (measured
                 # OOM at 1879 steps); 1D arrays cost 4B/step.
                 num_scalar_prefetch=11,
-                grid=(pl.cdiv(B8, bb), self.n_chunks),
-                in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
-                                       lambda g, c, *_: (0, 0, 0, g),
-                                       memory_space=pltpu.VMEM),
-                          inn_spec],
-                out_specs=(pl.BlockSpec((1, K + 1, L, 8, bb),
-                                        lambda g, c, *_:
-                                        (c, 0, 0, 0, g),
-                                        memory_space=pltpu.VMEM),
-                           pl.BlockSpec((1, KN + 1, 8, bb),
-                                        lambda g, c, *_:
-                                        (c, 0, 0, g),
-                                        memory_space=pltpu.VMEM)),
+                grid=(G, self.n_chunks),
+                in_specs=[in_spec, inn_spec],
+                out_specs=(pl.BlockSpec(
+                               (1, K + 1, L, 8, bb),
+                               lambda g, c, *_:
+                               (g * self.n_chunks + c, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                           pl.BlockSpec(
+                               (1, KN + 1, 8, bb),
+                               lambda g, c, *_:
+                               (g * self.n_chunks + c, 0, 0, 0),
+                               memory_space=pltpu.VMEM)),
                 scratch_shapes=[
                     pltpu.VMEM((self.n_regs, L, 8, bb), jnp.uint32),
                     pltpu.VMEM((max(self.n_nregs, 1), 8, bb),
@@ -1890,9 +1982,11 @@ class InterpreterProgram:
                 self._make_kernel(bb),
                 out_shape=(
                     jax.ShapeDtypeStruct(
-                        (self.n_chunks, K + 1, L, 8, B8), jnp.uint32),
+                        (G * self.n_chunks, K + 1, L, 8, bb),
+                        jnp.uint32),
                     jax.ShapeDtypeStruct(
-                        (self.n_chunks, KN + 1, 8, B8), jnp.int32)),
+                        (G * self.n_chunks, KN + 1, 8, bb),
+                        jnp.int32)),
                 grid_spec=grid_spec,
                 interpret=interp,
             )(self.rstarts, self.r_op, self.r_s0,
@@ -1903,30 +1997,28 @@ class InterpreterProgram:
               np.ascontiguousarray(t[:, 5]),
               np.ascontiguousarray(t[:, 6]),
               self.cbank.reshape(-1), self.mont_tab, x_w, x_n)
-            return (emits.reshape(self.n_chunks * (K + 1), L, 8, B8),
-                    emits_n.reshape(self.n_chunks * (KN + 1), 8, B8))
+            return (emits.reshape(G, self.n_chunks * (K + 1), L, 8, bb),
+                    emits_n.reshape(G, self.n_chunks * (KN + 1), 8, bb))
         # multi-call paging: each call interprets a table slice
         # (padded to one shared shape = one Mosaic kernel) and
         # the register files ride through HBM between calls
+        # (batch-block-major, so the handoff DMAs are contiguous)
         CS, CC = self.call_steps, self.call_chunks
         CR = self.call_runs
-        kernel = self._make_kernel(bb, whole=(B8 == bb))
+        kernel = self._make_kernel(bb)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=11,
-            grid=(pl.cdiv(B8, bb), CC),
-            in_specs=[pl.BlockSpec((n_win_b, L, 8, bb),
-                                   lambda g, c, *_: (0, 0, 0, g),
-                                   memory_space=pltpu.VMEM),
-                      inn_spec,
+            grid=(G, CC),
+            in_specs=[in_spec, inn_spec,
                       pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                       pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
             out_specs=(pl.BlockSpec((1, K + 1, L, 8, bb),
                                     lambda g, c, *_:
-                                    (c, 0, 0, 0, g),
+                                    (g * CC + c, 0, 0, 0, 0),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((1, KN + 1, 8, bb),
                                     lambda g, c, *_:
-                                    (c, 0, 0, g),
+                                    (g * CC + c, 0, 0, 0),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)),
@@ -1936,8 +2028,8 @@ class InterpreterProgram:
                            jnp.int32),
                 pltpu.SemaphoreType.DMA((2,))],
         )
-        rf_w = jnp.zeros((self.n_regs, L, 8, B8), jnp.uint32)
-        rf_nn = jnp.zeros((max(self.n_nregs, 1), 8, B8),
+        rf_w = jnp.zeros((G, self.n_regs, L, 8, bb), jnp.uint32)
+        rf_nn = jnp.zeros((G, max(self.n_nregs, 1), 8, bb),
                           jnp.int32)
         parts, parts_n = [], []
         for (a, b, s0, s1) in self.calls:
@@ -1961,9 +2053,9 @@ class InterpreterProgram:
                 kernel,
                 out_shape=(
                     jax.ShapeDtypeStruct(
-                        (CC, K + 1, L, 8, B8), jnp.uint32),
+                        (G * CC, K + 1, L, 8, bb), jnp.uint32),
                     jax.ShapeDtypeStruct(
-                        (CC, KN + 1, 8, B8), jnp.int32),
+                        (G * CC, KN + 1, 8, bb), jnp.int32),
                     jax.ShapeDtypeStruct(rf_w.shape, jnp.uint32),
                     jax.ShapeDtypeStruct(rf_nn.shape, jnp.int32)),
                 grid_spec=grid_spec,
@@ -1977,11 +2069,74 @@ class InterpreterProgram:
               np.ascontiguousarray(tb[:, 6]),
               self.cbank.reshape(-1), mont_call,
               x_w, x_n, rf_w, rf_nn)
-            parts.append(emits_i.reshape(CC * (K + 1), L, 8, B8))
-            parts_n.append(emits_ni.reshape(CC * (KN + 1), 8, B8))
-        return (jnp.concatenate(parts, axis=0),
-                jnp.concatenate(parts_n, axis=0))
+            parts.append(emits_i.reshape(G, CC * (K + 1), L, 8, bb))
+            parts_n.append(emits_ni.reshape(G, CC * (KN + 1), 8, bb))
+        return (jnp.concatenate(parts, axis=1),
+                jnp.concatenate(parts_n, axis=1))
 
+
+    def _unblock_gather_w(self, bank, idx):
+        """Witness gather + un-blocking in ONE Pallas pass.
+
+        bank (G, R, L, 8, bb) -> (W, L, 8, G, bb): cell (w, h) DMAs the
+        contiguous (G, 1, Lh, 8, bb) slab of bank row idx[w] in and
+        writes the transposed (1, Lh, 8, G, bb) output block, which is
+        contiguous in the destination.  XLA's own gather on the blocked
+        bank lowers to per-slice copies (~2.6 us each, 25 ms on
+        Poseidon2-64k vs ~4 ms here); an unblocked bank would need a
+        (G -> minor) relayout pass first (~15 ms measured)."""
+        G, _R, L, _s, bb = bank.shape
+        W = len(idx)
+        Lh = L
+        while Lh > 1 and Lh * 8 * G * bb * 4 > (2 << 20):
+            Lh //= 2
+
+        def kern(_idx_ref, in_ref, out_ref):
+            for g in range(G):
+                out_ref[0, :, :, g, :] = in_ref[g, 0]
+
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((W, L, 8, G, bb), bank.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(W, L // Lh),
+                in_specs=[pl.BlockSpec(
+                    (G, 1, Lh, 8, bb),
+                    lambda w, h, i: (0, i[w], h, 0, 0),
+                    memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(
+                    (1, Lh, 8, G, bb),
+                    lambda w, h, i: (w, h, 0, 0, 0),
+                    memory_space=pltpu.VMEM),
+            ),
+        )(jnp.asarray(idx, jnp.int32), bank)
+
+    def _unblock_gather_n(self, bank, idx):
+        """Narrow variant: (G, R, 8, bb) int32 -> (W, 8, G, bb)."""
+        G, _R, _s, bb = bank.shape
+        W = len(idx)
+
+        def kern(_idx_ref, in_ref, out_ref):
+            for g in range(G):
+                out_ref[0, :, g, :] = in_ref[g, 0]
+
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((W, 8, G, bb), bank.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(W,),
+                in_specs=[pl.BlockSpec(
+                    (G, 1, 8, bb),
+                    lambda w, i: (0, i[w], 0, 0),
+                    memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(
+                    (1, 8, G, bb),
+                    lambda w, i: (w, 0, 0, 0),
+                    memory_space=pltpu.VMEM),
+            ),
+        )(jnp.asarray(idx, jnp.int32), bank)
 
     def run(self, inputs):
         if self._jit is None:

@@ -48,6 +48,17 @@ def load_inputs(path_or_dict, p: int) -> dict:
     else:
         with open(path_or_dict) as f:
             data = json.load(f)
+    if isinstance(data, list):
+        # a batch file handed to the single-witness path: accept a
+        # singleton, reject anything ambiguous (the reference's
+        # witness_calculator takes exactly one input object)
+        if len(data) == 1 and isinstance(data[0], dict):
+            data = data[0]
+        else:
+            raise Report.error(
+                "expected one JSON object of signal assignments; got a "
+                f"list of {len(data)} (batch files go to --witness-tpu)",
+                "T3010")
     out = {}
     for name, v in data.items():
         if "." in name:

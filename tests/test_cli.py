@@ -165,3 +165,20 @@ def test_standalone_witness_from_artifact(tmp_path):
     assert rc == 0
     rc = wmain([str(tmp_path / "bad.tpu.json"), inp, "-o", str(tmp_path)])
     assert rc == 1
+
+
+def test_witness_rejects_batch_list(tmp_path, capsys):
+    """A multi-entry batch list handed to --witness reports T3010
+    (single-witness path takes exactly one input object); a singleton
+    list is accepted."""
+    circ = _write(tmp_path, "t.circom", GOOD)
+    bad = _inputs(tmp_path, [{"in": 1}, {"in": 2}])
+    code = main([circ, "-o", str(tmp_path / "o1"), "--witness", bad,
+                 "--prime", "goldilocks"])
+    assert code == 1
+    cap = capsys.readouterr()
+    assert "batch files go to --witness-tpu" in cap.out + cap.err
+    good = _inputs(tmp_path, [{"in": 3}])
+    code = main([circ, "-o", str(tmp_path / "o2"), "--witness", good,
+                 "--prime", "goldilocks"])
+    assert code == 0
