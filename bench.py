@@ -103,7 +103,9 @@ def vpu_ops_per_witness(prog):
             return 4 * L
         if op == "nband_w":
             return 3
-        return 1  # narrow int32 lane ops
+        if op == "copyw":
+            return 2 * L
+        return 1  # narrow int32 lane ops (incl. nshru/ncopy)
 
     total = 0
     for t in range(f.n_steps):
@@ -111,6 +113,49 @@ def vpu_ops_per_witness(prog):
         total += cost(names[opid], int(f.table[t, 2]),
                       int(f.table[t, 6]))
     return total / 1024.0  # per witness (a tile carries 8x128 lanes)
+
+
+def measure_device_time(run_sync, reps=5):
+    """MEASURED on-device milliseconds per run via jax.profiler
+    (xplane TPU plane event durations; works through the axon relay).
+    `run_sync()` must execute one workload run and block on it.
+    Returns (device_ms_per_run, n_events) or (None, 0) if the trace
+    yields no device plane (headless/relay limitations)."""
+    import glob
+    import tempfile
+
+    import jax
+
+    try:
+        from jax.profiler import ProfileData
+    except ImportError:
+        return None, 0
+    d = tempfile.mkdtemp(prefix="ctpu_prof_")
+    try:
+        with jax.profiler.trace(d):
+            for _ in range(reps):
+                run_sync()
+        paths = glob.glob(d + "/**/*.xplane.pb", recursive=True)
+        if not paths:
+            return None, 0
+        pd = ProfileData.from_file(paths[0])
+        tot = 0
+        nev = 0
+        for plane in pd.planes:
+            if not plane.name.startswith("/device:TPU"):
+                continue
+            for line in plane.lines:
+                # top-level line 0 spans whole programs; summing every
+                # line double-counts nested scopes, so take the max
+                # total across lines (XLA op events live on one line)
+                lt = sum(ev.duration_ns for ev in line.events)
+                n = sum(1 for _ in line.events)
+                if lt > tot:
+                    tot, nev = lt, n
+        return (tot / 1e6 / reps if tot else None), nev
+    except Exception as e:  # profiling must never fail the bench
+        print(f"# device-time trace failed: {e}", file=sys.stderr)
+        return None, 0
 
 
 def _tpu_alive(timeout=90):
@@ -282,6 +327,7 @@ def bench_poseidon(jax, extras, hbm_peak, vpu_peak):
     print("# poseidon2 programs compiled ahead of time", file=sys.stderr)
 
     best = 0.0
+    best_run = None
     for (batch, arr, exp_dev) in staged:
         run_fn = compiled[batch]
         t0 = time.time()
@@ -298,10 +344,21 @@ def bench_poseidon(jax, extras, hbm_peak, vpu_peak):
         np.asarray(sync_fn[batch](out))
         dt = (time.time() - t0) / reps
         wps = batch / dt
-        best = max(best, wps)
+        if wps > best:
+            best = wps
+            best_run = (batch, run_fn, sync_fn[batch], arr, dt)
         print(f"# poseidon2 batch {batch}: {dt*1e3:.1f} ms -> "
               f"{wps:,.0f} wit/s", file=sys.stderr)
     extras["poseidon2_tpu_wit_s"] = round(best, 1)
+    if platform != "cpu" and best_run is not None:
+        b, rf, sf, a, wall_dt = best_run
+        dev_ms, nev = measure_device_time(
+            lambda: np.asarray(sf(rf(a))))
+        if dev_ms:
+            extras["poseidon2_device_ms_measured"] = round(dev_ms, 2)
+            extras["poseidon2_device_events"] = nev
+            extras["poseidon2_wall_vs_device"] = round(
+                wall_dt * 1e3 / dev_ms, 3)
 
     # roofline: bytes moved per witness on the device (emission-buffer
     # write + gather read + final witness write, 4B/limb-word) AND
@@ -319,6 +376,13 @@ def bench_poseidon(jax, extras, hbm_peak, vpu_peak):
             extras["poseidon2_vpu_ops_per_wit"] = round(opw)
             extras["poseidon2_vpu_util"] = round(best * opw / vpu_peak, 3)
             extras["poseidon2_vpu_roof_wit_s"] = round(vpu_peak / opw)
+            dev_ms = extras.get("poseidon2_device_ms_measured")
+            if dev_ms and best_run is not None:
+                # MEASURED utilization: useful vector-instr time over
+                # on-device time (profiler xplane), not wall clock
+                b = best_run[0]
+                extras["poseidon2_vpu_util_measured"] = round(
+                    (b * opw / vpu_peak) / (dev_ms / 1e3), 3)
     return best
 
 
@@ -393,6 +457,7 @@ def bench_sha256(jax, extras, hbm_peak, vpu_peak):
     print("# sha256 programs compiled ahead of time", file=sys.stderr)
 
     best = 0.0
+    best_run = None
     for (batch, arr, exp_dev) in staged:
         run_fn = compiled[batch]
         t0 = time.time()
@@ -409,11 +474,22 @@ def bench_sha256(jax, extras, hbm_peak, vpu_peak):
         np.asarray(sync_fn[batch](nw))
         dt = (time.time() - t0) / reps
         wps = batch / dt
-        best = max(best, wps)
+        if wps > best:
+            best = wps
+            best_run = (batch, run_fn, sync_fn[batch], arr, dt)
         print(f"# sha256 batch {batch}: {dt*1e3:.1f} ms -> "
               f"{wps:,.0f} wit/s (digest-checked, mixed witness)",
               file=sys.stderr)
     extras["sha256_tpu_wit_s"] = round(best, 1)
+    if best_run is not None:
+        b, rf, sf, a, wall_dt = best_run
+        dev_ms, nev = measure_device_time(
+            lambda: np.asarray(sf(rf(a)[0])))
+        if dev_ms:
+            extras["sha256_device_ms_measured"] = round(dev_ms, 2)
+            extras["sha256_device_events"] = nev
+            extras["sha256_wall_vs_device"] = round(
+                wall_dt * 1e3 / dev_ms, 3)
     rows_n = f.n_chunks * (f.KN + 1)
     bpw = 4 * (rows_n + 2 * len(nidx))
     extras["sha256_bytes_per_wit"] = bpw
@@ -423,6 +499,10 @@ def bench_sha256(jax, extras, hbm_peak, vpu_peak):
         extras["sha256_vpu_ops_per_wit"] = round(opw)
         extras["sha256_vpu_util"] = round(best * opw / vpu_peak, 3)
         extras["sha256_vpu_roof_wit_s"] = round(vpu_peak / opw)
+        dev_ms = extras.get("sha256_device_ms_measured")
+        if dev_ms and best_run is not None:
+            extras["sha256_vpu_util_measured"] = round(
+                (best_run[0] * opw / vpu_peak) / (dev_ms / 1e3), 3)
     return best
 
 
@@ -609,11 +689,17 @@ def main():
                   file=sys.stderr)
 
     base_1t = cpu.get("poseidon2_cpu_1t")
+    base_mt = cpu.get("poseidon2_cpu_mt")
     result = {
         "metric": "poseidon2_witnesses_per_sec_per_chip",
         "value": round(pos, 1),
         "unit": "wit/s",
+        # both margins reported so the >=50x claim is auditable
+        # against a many-core CPU reading too (BASELINE.md "CPU
+        # baseline class" argument)
         "vs_baseline": round(pos / base_1t, 3) if base_1t else None,
+        "vs_baseline_allcore": round(pos / base_mt, 3)
+        if base_mt else None,
         "baseline_measured_wit_s": cpu,
         "device": kind or platform,
     }
@@ -621,6 +707,9 @@ def main():
     if sha is not None and cpu.get("sha256_cpu_1t"):
         result["sha256_vs_baseline"] = round(
             sha / cpu["sha256_cpu_1t"], 3)
+        if cpu.get("sha256_cpu_mt"):
+            result["sha256_vs_baseline_allcore"] = round(
+                sha / cpu["sha256_cpu_mt"], 3)
     print(json.dumps(result))
 
 

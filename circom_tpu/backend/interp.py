@@ -37,8 +37,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # perf-ablation knobs (timing experiments only — results are WRONG when
-# set): comma list of {noemit, noredc, nostep, nowrite}
+# set): comma list of {noemit, noredc, nostep, nowrite, noplgather}
 _ABLATE = set(filter(None, os.environ.get("CTPU_ABLATE", "").split(",")))
+
+
+def _unpack_bits(rows, shifts):
+    """Apply per-row packed-bit extraction: shift -1 keeps the row raw,
+    otherwise row := (row >> shift) & 1 (logical shift — packed words
+    use all 32 bits)."""
+    if not any(s >= 0 for s in shifts):
+        return rows
+    sh = np.asarray(shifts, np.int32).reshape(
+        (-1,) + (1,) * (rows.ndim - 1))
+    ext = ((rows.astype(jnp.uint32)
+            >> jnp.asarray(np.maximum(sh, 0), jnp.uint32)) & 1) \
+        .astype(jnp.int32)
+    return jnp.where(jnp.asarray(sh) < 0, rows, ext)
 
 from ..field.primes import LIMB_BITS, FieldSpec
 from ..ops.limbs import int_to_limbs
@@ -66,7 +80,8 @@ _CMP = {"eq", "neq", "lt", "le", "gt", "ge", "land", "lor"}
 # opcodes whose result lives in the narrow int32 register file
 _NARROW_RESULT = (
     {"nmul", "nadd", "nsub", "nsel", "nsel_w", "nband", "nbor", "nbxor",
-     "nshl", "nshr", "nband_w", "lnot_n", "lnot_w", "nidiv", "ncopy"}
+     "nshl", "nshr", "nshru", "nband_w", "lnot_n", "lnot_w", "nidiv",
+     "ncopy"}
     | {f"{o}_nn" for o in _CMP} | {f"{o}_ww" for o in _CMP}
 )
 
@@ -79,6 +94,7 @@ _OPERAND_FILES = {
     "nsel": ("n", "n", "n"), "nsel_w": ("w", "n", "n"),
     "nidiv": ("n", "n", "w"), "ncopy": ("n", "n", "w"),
     "nshl": ("n", "w", "w"), "nshr": ("n", "w", "w"),
+    "nshru": ("n", "w", "w"),
     "nband_w": ("w", "w", "w"), "widen": ("n", "w", "w"),
     "lnot_n": ("n", "w", "w"), "lnot_w": ("w", "w", "w"),
 }
@@ -132,6 +148,10 @@ class InterpreterProgram:
                 raise UnsupportedTapeOp(
                     f"register files exceed VMEM ({tiles} tiles)")
         self.lanes = lanes
+        # Pallas unblock-gather for the witness (parallel/mesh.py turns
+        # this off under shard_map: manual-DMA kernels inside shard_map
+        # regions fail to remote-compile through the axon relay)
+        self.pl_gather = True
         self._jit = None
 
     # ------------------------------------------------------------------
@@ -179,12 +199,15 @@ class InterpreterProgram:
         def nfits(v):
             return abs(signed_of(v)) <= (1 << 31) - 1
 
-        def nmaterialize(v):
-            sv = signed_of(v)
+        def nmat_signed(sv):
+            """Narrow const slot for a raw signed int32 bit pattern."""
             hit = nmat_ix.get(sv)
             if hit is None:
                 hit = nmat_ix[sv] = len(nmat_ix)
             return hit
+
+        def nmaterialize(v):
+            return nmat_signed(signed_of(v))
 
         alias = {}
 
@@ -411,6 +434,10 @@ class InterpreterProgram:
         for x, n_su in split_prod_uses.items():
             if n_su == uses.get(x, 0) and x not in out_set:
                 absorbed.add(x)
+        # snapshot: bitpack's consumer analysis must distinguish
+        # split-sum absorption (packed words are consumed whole there)
+        # from the later lincomb/nroot absorption (scalar operands)
+        split_absorbed = set(absorbed)
 
         def mulc_leaf(x):
             if xt.ops[x] != "mul" or uses.get(x, 0) != 1 or x in out_set:
@@ -488,10 +515,100 @@ class InterpreterProgram:
                 nroots[i] = (leaves_n, leaves_w, K2)
                 absorbed.update(local)
 
+        if os.environ.get("CTPU_DEBUG"):
+            print(f"# plan: split={len(split_plan)} roots={len(roots)} "
+                  f"nroots={len(nroots)} absorbed={len(absorbed)}")
+        import collections as _c
+        _dbg_rest = _c.Counter()
+
+        # --- word-level bit packing (SHA-class; backend/bitpack.py) ---
+        bitpack = None
+        if split_shr or len(self.nin_of) >= 64:
+            from . import bitpack as _bitpack
+            bitpack = _bitpack.analyze(
+                xt, comp, rngx, split_plan, split_shr, self.nin_of,
+                out_set, consumers, split_absorbed)
+        fam_member = bitpack.member if bitpack else {}
+        vec_words, fam_words = {}, {}
+
+        def emit_n1(op, a, imm=None):
+            nid = synth(True)
+            steps.append((op, a, None, None, nid, imm))
+            return nid
+
+        def emit_n2(op, a, b):
+            nid = synth(True)
+            steps.append((op, a, b, None, nid, None))
+            return nid
+
+        def cword(sv):
+            return ("nmat", nmat_signed(sv))
+
+        def as_node(h):
+            """Materialize a const handle as a narrow register node
+            (needed when a packed word is itself emitted)."""
+            if isinstance(h, tuple):
+                return emit_n2("nbor", h, h)
+            return h
+
+        def get_vec_word(vec):
+            """Packed 32-bit word for an atom vector."""
+            w = vec_words.get(vec)
+            if w is not None:
+                return w
+            if vec[0] == "sum":
+                lo, t_n = splitrep[vec[1]]
+                a = emit_n2("nband", lo, cword(0xffff))
+                b = emit_n2("nband", t_n, cword(0xffff))
+                w = emit_n2("nbor", a, emit_n1("nshl", b, 16))
+            else:  # ("in", word index): assemble from input bit nodes
+                bits = bitpack.in_words[vec]
+                parts = [emit_n1("nshl", nform(n), k) if k else nform(n)
+                         for k, n in sorted(bits.items())]
+                while len(parts) > 1:
+                    nxt = [emit_n2("nbor", parts[j], parts[j + 1])
+                           for j in range(0, len(parts) - 1, 2)]
+                    if len(parts) % 2:
+                        nxt.append(parts[-1])
+                    parts = nxt
+                w = parts[0]
+            vec_words[vec] = w
+            return w
+
+        def atom_word(vec, rot, raws):
+            """Aligned word: bit p holds vec[(p + rot) mod 32], by
+            logical shift when no member wraps, ROTR when some do."""
+            W = get_vec_word(vec)
+            if rot == 0:
+                return W
+            lo = emit_n1("nshru", W, rot) \
+                if any(r >= 0 for r in raws) else None
+            hi = emit_n1("nshl", W, 32 - rot) \
+                if any(r < 0 for r in raws) else None
+            if lo is None:
+                return hi
+            if hi is None:
+                return lo
+            return emit_n2("nbor", lo, hi)
+
+        def get_fam_word(fi):
+            w = fam_words.get(fi)
+            if w is not None:
+                return w
+            f = bitpack.fams[fi]
+            words = [atom_word(vec, rot, f.wraps[k])
+                     for k, (vec, rot) in enumerate(f.atoms)]
+            if f.tt == (0, 1):
+                w = words[0]
+            else:
+                w = _bitpack.synth_tt(f.tt, words, emit_n2, cword)
+            w = fam_words[fi] = as_node(w)
+            return w
+
         def _nterm(it):
             """Narrow register holding one split-sum term."""
             if it[0] == "node":
-                return nform(res(it[1]))
+                return nform(sres(it[1]))
             if it[0] == "lo16":
                 nid = synth(True)
                 steps.append(("nband", nform(res(it[1])),
@@ -505,18 +622,18 @@ class InterpreterProgram:
                 return nid
             _tag, v, c = it
             nid = synth(True)
-            steps.append(("nmul", nform(res(v)),
+            steps.append(("nmul", nform(sres(v)),
                           ("nmat", nmaterialize(c)), None, nid, None))
             return nid
 
-        def _nsum(terms, k_const):
+        def _nsum(terms, k_const, extra=()):
             """nadd reduction over split-sum terms (+ constant);
             returns the operand (register id or nmat tuple).  Eight
             parallel accumulator chains + a final tree: wide enough
             that the run scheduler batches the adds, narrow enough
             that only ~8 partials are live (a full balanced tree keeps
             n/2 partials live and blows the register file)."""
-            parts = [_nterm(it) for it in terms]
+            parts = list(extra) + [_nterm(it) for it in terms]
             if k_const:
                 parts.append(("nmat", nmaterialize(k_const)))
             A = 8
@@ -540,16 +657,126 @@ class InterpreterProgram:
                 parts = nxt
             return parts[0]
 
+        scalar_bits = {}
+
+        def scalar_bit(n):
+            """Materialize one packed member as a scalar 0/1 register
+            ((W >> p) & 1), memoized."""
+            h = scalar_bits.get(n)
+            if h is None:
+                fi, p = fam_member[n]
+                W = get_fam_word(fi)
+                v = emit_n1("nshru", W, p) if p else W
+                h = emit_n2("nband", v, cword(1))
+                scalar_bits[n] = h
+            return h
+
+        def sres(x):
+            """res() + lazy scalar extraction of packed members: any
+            plan site that reads a packed bit as a scalar operand gets
+            the 2-op extraction at its own position; DCE later removes
+            chains whose consumers all packed away."""
+            x = res(x)
+            if x in fam_member:
+                return scalar_bit(x)
+            return x
+
+        def _grouped(items):
+            """Partition split-sum terms: bit-products of packed family
+            members group into whole shifted/masked packed words (one
+            32-term word sum becomes ~2 ops); the rest stay scalar."""
+            groups, rest = {}, []
+            for it in items:
+                v = c = None
+                if it[0] == "prod" and it[2] and (it[2] & (it[2] - 1)) \
+                        == 0:
+                    v, c = res(it[1]), it[2]
+                elif it[0] == "node":
+                    v, c = res(it[1]), 1
+                src = None
+                if v is not None:
+                    m = fam_member.get(v)
+                    if m is not None:
+                        src = (("f", m[0]), m[1])
+                    elif xt.kind[v] == "input":
+                        at = bitpack.atom.get(v)
+                        if at is not None:
+                            src = (("v", at[0]), at[1])
+                if src is None:
+                    if os.environ.get("CTPU_DEBUG"):
+                        _dbg_rest[(it[0],
+                                   xt.ops[v] if v is not None
+                                   and xt.kind[v] == "compute"
+                                   else "?")] += 1
+                    rest.append(it)
+                    continue
+                (sk, p) = src[0], src[1]
+                d = c.bit_length() - 1 - p     # weight k = p + d
+                g = groups.setdefault((sk, d), [0, [], []])
+                g[0] |= 1 << p
+                g[1].append(p)
+                g[2].append(it)
+            extra = []
+            for (sk, d), (mask, ps, its) in groups.items():
+                if os.environ.get("CTPU_DEBUG"):
+                    _dbg_rest[("grp", len(ps) if len(ps) < 3
+                               else ">=3")] += 1
+                if len(ps) < 3:
+                    # not worth word ops: scalar term (with extraction
+                    # for packed members; input bits read directly)
+                    for p, it in zip(ps, its):
+                        if sk[0] == "f":
+                            n = bitpack.fams[sk[1]].nodes[p]
+                            h = scalar_bit(n)
+                            w = 1 << (p + d)
+                            rest.append(("node", h) if w == 1
+                                        else ("prod", h, w))
+                        else:
+                            rest.append(it)
+                    continue
+                if sk[0] == "f":
+                    V = get_fam_word(sk[1])
+                    full = mask == 0xffffffff \
+                        and len(bitpack.fams[sk[1]].nodes) == 32
+                else:
+                    V = get_vec_word(sk[1])
+                    present = 0
+                    for k2 in bitpack.in_words[sk[1]]:
+                        present |= 1 << k2
+                    full = mask == present
+                if not full:
+                    sm = mask if mask < (1 << 31) else mask - (1 << 32)
+                    V = emit_n2("nband", V, cword(sm))
+                if d > 0:
+                    V = emit_n1("nshl", V, d)
+                elif d < 0:
+                    V = emit_n1("nshru", V, -d)
+                extra.append(V)
+            return extra, rest
+
         for i in comp:
             if i in absorbed:
                 continue
+            if bitpack is not None and i in fam_member:
+                if i in out_set:
+                    # synthesize the packed word AT the first emitted
+                    # member's position — deferring to the tape tail
+                    # would keep every atom register (sum lo/t pairs)
+                    # live to the end and blow the register file
+                    get_fam_word(fam_member[i][0])
+                continue
             if i in split_plan:
                 lo_t, hi_t, k_lo, k_hi = split_plan[i]
-                lo = _nsum(lo_t, k_lo)
+                if bitpack is not None:
+                    lo_x, lo_t = _grouped(lo_t)
+                    hi_x, hi_t = _grouped(hi_t)
+                else:
+                    lo_x = hi_x = ()
+                lo = _nsum(lo_t, k_lo, lo_x)
                 car = synth(True)
                 steps.append(("nshr", lo, None, None, car, 16))
-                if hi_t or k_hi:
-                    hi = _nsum(hi_t, k_hi)
+                if hi_t or hi_x or k_hi:
+                    hi = _nsum(hi_t, k_hi, hi_x)
                     t_n = synth(True)
                     steps.append(("nadd", hi, car, None, t_n, None))
                 else:
@@ -582,13 +809,13 @@ class InterpreterProgram:
                     groups.append(cur)
                 wparts = [wform(res(x)) for x in leaves_w]
                 for grp in groups:
-                    acc_n = grp[0]
+                    acc_n = sres(grp[0])
                     for x in grp[1:]:
                         nid = synth(True)
-                        steps.append(("nadd", nform(res(acc_n)),
-                                      nform(res(x)), None, nid, None))
+                        steps.append(("nadd", nform(acc_n),
+                                      nform(sres(x)), None, nid, None))
                         acc_n = nid
-                    wparts.append(wide_of(res(acc_n)))
+                    wparts.append(wide_of(acc_n))
                 acc = wparts[0]
                 for xw in wparts[1:]:
                     nid = synth()
@@ -602,7 +829,10 @@ class InterpreterProgram:
                 alias[i] = acc
                 continue
             if i in roots:
-                terms, bares, K_acc = roots[i]
+                terms, bares, K_acc = [
+                    [(sres(x), c) for (x, c) in roots[i][0]],
+                    [sres(x) for x in roots[i][1]],
+                    roots[i][2]]
                 parts = []
                 g = 0
                 first = True
@@ -644,7 +874,7 @@ class InterpreterProgram:
                 alias[i] = acc
                 continue
             op = xt.ops[i]
-            a = [res(x) for x in xt.args[i]]
+            a = [sres(x) for x in xt.args[i]]
             kinds = [xt.kind[x] for x in a]
             if op == "select" and kinds[0] == "const":
                 alias[i] = a[1] if xt.cval[a[0]] else a[2]
@@ -782,12 +1012,27 @@ class InterpreterProgram:
             pad = norm + [None] * (3 - len(norm))
             steps.append((op, pad[0], pad[1], pad[2], i, None))
 
+        if os.environ.get("CTPU_DEBUG"):
+            print("# rest terms:", dict(_dbg_rest.most_common(10)))
+
         # narrow witness values stream out RAW (int32 emission buffer,
         # limb conversion happens vectorized outside the kernel), so no
         # widen steps are needed for emission — only alias resolution.
         self.xt.out_ids = [res(o) for o in xt.out_ids]
         out_set = set(x for x in self.xt.out_ids
                       if xt.kind[x] == "compute")
+
+        # packed-family witness members emit ONE packed word row; the
+        # gather unpacks (row >> bit) & 1 per witness index (bit_src)
+        bit_src = {}
+        if bitpack is not None:
+            for nid in list(out_set):
+                if nid in fam_member:
+                    fi, p = fam_member[nid]
+                    bit_src[nid] = (get_fam_word(fi), p)
+            out_set -= set(bit_src)
+            out_set.update(w for (w, _p) in bit_src.values())
+        self._bit_src = bit_src
 
         # --- deferred from-Mont emission pass ---------------------------
         # Poseidon-class circuits spend ~40% of their steps on
@@ -850,6 +1095,27 @@ class InterpreterProgram:
             else:
                 steps.append(("copyw", nid, None, None, nid, None))
             out_set.add(nid)
+
+        # DCE: packing replaces whole per-bit step chains (the shr/band
+        # extraction scaffolding feeding only packed gadgets goes dead)
+        needed = set(out_set)
+        kept_rev = []
+        for st in reversed(steps):
+            if st[4] in needed:
+                kept_rev.append(st)
+                for x in (st[1], st[2], st[3]):
+                    if isinstance(x, int):
+                        needed.add(x)
+        steps = kept_rev[::-1]
+
+        if os.environ.get("CTPU_DEBUG"):
+            import collections as _c2
+            n_orig0 = next((k for k in range(len(xt.ops))
+                            if xt.ops[k] == "_tmp"), len(xt.ops))
+            cnt = _c2.Counter(
+                (st[0], "synth" if st[4] >= n_orig0 else "orig")
+                for st in steps)
+            print("# post-DCE steps:", dict(cnt.most_common(14)))
 
         steps = self._schedule_runs(steps)
 
@@ -1053,7 +1319,10 @@ class InterpreterProgram:
         # fallbacks retained for the zero-step tape edge case)
         self.wit_src = []
         for nid in self.xt.out_ids:
-            if nid in wit_rows_n:
+            if nid in bit_src:
+                w, p = bit_src[nid]
+                self.wit_src.append(("emitb", *wit_rows_n[w], p))
+            elif nid in wit_rows_n:
                 self.wit_src.append(("emitn", *wit_rows_n[nid]))
             elif nid in defer_src:
                 # deferred conversion: the producer's row IS canonical
@@ -1495,6 +1764,11 @@ class InterpreterProgram:
                         return na << aux
                     if op == "nshr":
                         return na >> aux
+                    if op == "nshru":
+                        # logical shift: packed words use all 32 bits
+                        return (na.astype(jnp.uint32)
+                                >> aux.astype(jnp.uint32)) \
+                            .astype(jnp.int32)
                     if op == "nband_w":
                         v = rf[ia, 0] & lax.convert_element_type(
                             cb_ref[aux * L + 0], jnp.uint32)
@@ -1699,20 +1973,22 @@ class InterpreterProgram:
             chunk_base = chunk_base_n = []
         # narrow emissions used by the witness convert to limb rows in
         # ONE vectorized pass (the kernel never widens for emission)
-        idx_n = []
+        idx_n, sh_n = [], []
         pos_n = {}
         for src in self.wit_src:
-            if src[0] == "emitn":
-                key = (src[1], src[2])
+            if src[0] in ("emitn", "emitb"):
+                key = (src[1], src[2], src[3] if src[0] == "emitb"
+                       else -1)
                 if key not in pos_n:
                     pos_n[key] = len(idx_n)
                     idx_n.append(chunk_base_n[src[1]] + src[2])
+                    sh_n.append(key[2])
         n_in_bank = n_in_prog
         n_const0 = n_flat + n_in_bank
         for src in self.wit_src:
             if src[0] == "emit":
                 idx.append(chunk_base[src[1]] + src[2])
-            elif src[0] == "emitn":
+            elif src[0] in ("emitn", "emitb"):
                 idx.append(0)  # patched below once n_const is known
             elif src[0] == "input":
                 idx.append(n_flat + src[1])
@@ -1724,9 +2000,12 @@ class InterpreterProgram:
                 idx.append(n_const0 + const_pos[v])
         n_const = len(const_rows)
         for w_i, src in enumerate(self.wit_src):
-            if src[0] == "emitn":
-                idx[w_i] = n_const0 + n_const + pos_n[(src[1], src[2])]
-        if self.n_steps and not interp and not idx_n and not const_rows \
+            if src[0] in ("emitn", "emitb"):
+                key = (src[1], src[2], src[3] if src[0] == "emitb"
+                       else -1)
+                idx[w_i] = n_const0 + n_const + pos_n[key]
+        if self.n_steps and not interp and self.pl_gather \
+                and not idx_n and not const_rows \
                 and all(s[0] == "emit" for s in self.wit_src):
             # fast path: one Pallas gather+un-block pass over the
             # emission bank (everything is an emission row by plan
@@ -1749,7 +2028,7 @@ class InterpreterProgram:
         if idx_n:
             sel_n = jnp.take(flat_n_u, jnp.asarray(idx_n, np.int32),
                              axis=0)
-            banks.append(self._widen_narrow(sel_n))
+            banks.append(self._widen_narrow(_unpack_bits(sel_n, sh_n)))
         big = jnp.concatenate(banks, axis=0)
         wit = jnp.take(big, jnp.asarray(idx, np.int32), axis=0)
         return wit.reshape(len(idx), L, Bp)[..., :B]
@@ -1795,19 +2074,21 @@ class InterpreterProgram:
         else:
             flat = jnp.zeros((1, 1, L, 8, B8), jnp.uint32)
             flat_n = jnp.zeros((1, 1, 8, B8), jnp.int32)
-        (nw_src, wd_src), _ = self._mixed_split()
+        (nw_src, nw_shift, wd_src), _ = self._mixed_split()
         n_fw, n_fn = flat.shape[1], flat_n.shape[1]
-        fast = self.n_steps and not interp \
+        fast = self.n_steps and not interp and self.pl_gather \
             and "noplgather" not in _ABLATE
         if nw_src:
             if fast and all(s < n_fn for s in nw_src):
-                narrow = self._unblock_gather_n(flat_n, nw_src)
+                narrow = self._unblock_gather_n(flat_n, nw_src,
+                                                nw_shift)
                 narrow = narrow.reshape(len(nw_src), Bp)[:, :B]
             else:
                 fn_u = jnp.moveaxis(flat_n, 0, 2).reshape(n_fn, 8, B8)
                 narrow = jnp.take(
                     jnp.concatenate([fn_u, x_n], axis=0),
                     jnp.asarray(nw_src, np.int32), axis=0)
+                narrow = _unpack_bits(narrow, nw_shift)
                 narrow = narrow.reshape(len(nw_src), Bp)[:, :B]
         else:
             narrow = jnp.zeros((0, B), jnp.int32)
@@ -1854,11 +2135,17 @@ class InterpreterProgram:
         n_flat_w = (len(cb_w) * (K + 1)) if cb_w else 1
         n_flat_n = (len(cb_n) * (KN + 1)) if cb_n else 1
         nw_src, wd_src, nw_idx, wd_idx = [], [], [], []
+        nw_shift = []   # per narrow row: -1 raw, else unpack bit index
         consts = []
         const_pos = {}
         for w_i, src in enumerate(self.wit_src):
-            if src[0] == "emitn":
+            if src[0] == "emitb":
                 nw_src.append(cb_n[src[1]] + src[2])
+                nw_shift.append(src[3])
+                nw_idx.append(w_i)
+            elif src[0] == "emitn":
+                nw_src.append(cb_n[src[1]] + src[2])
+                nw_shift.append(-1)
                 nw_idx.append(w_i)
             elif src[0] == "emit":
                 wd_src.append(cb_w[src[1]] + src[2])
@@ -1879,7 +2166,8 @@ class InterpreterProgram:
                               + const_pos[v])
                 wd_idx.append(w_i)
         self._mixed_consts = consts
-        self._mixed_cache = ((nw_src, wd_src), (nw_idx, wd_idx))
+        self._mixed_cache = ((nw_src, nw_shift, wd_src),
+                             (nw_idx, wd_idx))
         return self._mixed_cache
 
     def mixed_layout(self):
@@ -2112,31 +2400,94 @@ class InterpreterProgram:
             ),
         )(jnp.asarray(idx, jnp.int32), bank)
 
-    def _unblock_gather_n(self, bank, idx):
-        """Narrow variant: (G, R, 8, bb) int32 -> (W, 8, G, bb)."""
+    def _unblock_gather_n(self, bank, idx, shifts=None):
+        """Narrow variant: (G, R, 8, bb) int32 -> (W, 8, G, bb).
+
+        shifts[w] >= 0 unpacks one bit from a packed word row
+        ((row >> shift) & 1, bitpack.py emission) during the same
+        DMA-bound pass; -1 copies the row raw.
+
+        Unlike the wide gather, W here can be tens of thousands of
+        rows (every bit of a packed circuit is a witness value), so a
+        one-row-per-grid-cell design pays ~2.7 us of per-cell overhead
+        ~W times.  Instead: relayout the (now word-packed, so small)
+        bank row-major once, then each grid cell gathers RC rows with
+        pipelined in-kernel DMAs and unpacks them in VMEM."""
         G, _R, _s, bb = bank.shape
         W = len(idx)
+        RC = 32
+        Wp = -(-W // RC) * RC
+        idx_p = np.zeros(Wp, np.int32)
+        idx_p[:W] = np.asarray(idx, np.int32)
+        sh_p = np.full(Wp, -1, np.int32)
+        if shifts is not None:
+            sh_p[:W] = np.asarray(shifts, np.int32)
+        # per-cell dedup: witness bit rows come in long single-word
+        # runs, so each 32-row cell touches very few distinct bank
+        # rows.  DMA exactly U distinct rows per cell (duplicate-padded)
+        # and route each output row to its scratch slot.
+        n_cells = Wp // RC
+        maxu = 1
+        cell_uniq, cell_map = [], np.zeros(Wp, np.int32)
+        for c in range(n_cells):
+            seen = {}
+            for j in range(RC):
+                r = int(idx_p[c * RC + j])
+                if r not in seen:
+                    seen[r] = len(seen)
+                cell_map[c * RC + j] = seen[r]
+            maxu = max(maxu, len(seen))
+            cell_uniq.append(list(seen))
+        U = max(2, maxu)
+        uniq_p = np.zeros((n_cells, U), np.int32)
+        for c, rows in enumerate(cell_uniq):
+            uniq_p[c, :len(rows)] = rows
+            uniq_p[c, len(rows):] = rows[0] if rows else 0
 
-        def kern(_idx_ref, in_ref, out_ref):
-            for g in range(G):
-                out_ref[0, :, g, :] = in_ref[g, 0]
+        def kern(uniq_ref, jm_ref, sh_ref, bank_ref, out_ref,
+                 scratch, tr, sem):
+            c = pl.program_id(0)
+            # each row slab bank[:, r] is G strided 8*bb segments —
+            # one DMA descriptor set per distinct row, no relayout pass
+            for u in range(U):
+                pltpu.make_async_copy(
+                    bank_ref.at[:, uniq_ref[c, u]],
+                    scratch.at[u], sem.at[u]).start()
+            for u in range(U):
+                pltpu.make_async_copy(
+                    bank_ref.at[:, uniq_ref[c, u]],
+                    scratch.at[u], sem.at[u]).wait()
+            # un-block the U distinct rows once (U*G small copies),
+            # then each output row is ONE whole-slab select
+            for u in range(U):
+                for g in range(G):
+                    tr[u, :, g, :] = scratch[u, g]
+            for j in range(RC):
+                s = sh_ref[c * RC + j]
+                su = jnp.maximum(s, 0).astype(jnp.uint32)
+                v = tr[jm_ref[c * RC + j]]
+                b = ((v.astype(jnp.uint32) >> su) & 1) \
+                    .astype(jnp.int32)
+                out_ref[j] = jnp.where(s < 0, v, b)
 
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((W, 8, G, bb), bank.dtype),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(W,),
+                num_scalar_prefetch=3,
+                grid=(n_cells,),
                 in_specs=[pl.BlockSpec(
-                    (G, 1, 8, bb),
-                    lambda w, i: (0, i[w], 0, 0),
-                    memory_space=pltpu.VMEM)],
+                    memory_space=pltpu.MemorySpace.ANY)],
                 out_specs=pl.BlockSpec(
-                    (1, 8, G, bb),
-                    lambda w, i: (w, 0, 0, 0),
+                    (RC, 8, G, bb),
+                    lambda c, *_: (c, 0, 0, 0),
                     memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((U, G, 8, bb), jnp.int32),
+                    pltpu.VMEM((U, 8, G, bb), jnp.int32),
+                    pltpu.SemaphoreType.DMA((U,))],
             ),
-        )(jnp.asarray(idx, jnp.int32), bank)
+        )(uniq_p, cell_map, sh_p, bank)
 
     def run(self, inputs):
         if self._jit is None:

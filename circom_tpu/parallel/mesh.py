@@ -45,6 +45,9 @@ def shard_program(program, mesh, axis="batch", use_fused=None):
     if use_fused:
         from jax.experimental.shard_map import shard_map
 
+        # witness gather falls back to the XLA path inside shard_map
+        # regions (manual-DMA Pallas kernels fail remote compile there)
+        program.fused.pl_gather = False
         body = shard_map(program.fused._run, mesh=mesh,
                          in_specs=(spec,), out_specs=spec,
                          check_rep=False)
@@ -67,6 +70,7 @@ def shard_program_mixed(program, mesh, axis="batch"):
 
     in_spec = P(None, None, axis)
     out_specs = (P(None, axis), P(None, None, axis))
+    program.fused.pl_gather = False
     body = shard_map(program.fused._run_mixed, mesh=mesh,
                      in_specs=(in_spec,), out_specs=out_specs,
                      check_rep=False)
