@@ -182,12 +182,15 @@ class TypeCheck:
         return io
 
     def _bus_field(self, bus_name, field):
+        """(dims, inner bus name | None, declared tags) of a bus
+        field, or None if the bus declares no such field."""
         bus = self.archive.buses.get(bus_name)
         if bus is None:
             return None
         def scan(s):
             if isinstance(s, A.Declaration) and s.name == field:
-                return (len(s.dimensions), s.xtype.bus_name or None)
+                return (len(s.dimensions), s.xtype.bus_name or None,
+                        set(s.xtype.tags or ()))
             if isinstance(s, A.Block):
                 for st in s.stmts:
                     r = scan(st)
@@ -376,27 +379,30 @@ class TypeCheck:
         if kind == "signal":
             d, i = eat_arrays(access, info["dims"], i)
             bus = info.get("bus")
+            cur_tags = info.get("tags", ())
             while i < len(access):
                 acc = access[i]
                 if isinstance(acc, A.ComponentAccess):
                     if bus:
                         fld = self._bus_field(bus, acc.name)
                         if fld is None:
-                            # a tag on the bus wire: must be declared
-                            # (InvalidSignalAccessInBus BU04 otherwise)
-                            if acc.name not in info.get("tags", ()):
+                            # a tag on the bus wire/field: must be
+                            # declared (InvalidSignalAccessInBus BU04
+                            # otherwise)
+                            if acc.name not in cur_tags:
                                 rep("BU04", e.meta)
                                 return None
                             return _arith(0)
-                        d, bus = fld[0], fld[1]
+                        d, bus, cur_tags = fld
                         i += 1
                         d, i = eat_arrays(access, d, i)
                         if d is None:
                             return None
                     else:
-                        # tag access: the signal must DECLARE the tag
+                        # tag access: the signal (or the bus field we
+                        # descended into) must DECLARE the tag
                         # (InvalidSignalTagAccess T2047); scalar value
-                        if acc.name not in info.get("tags", ()):
+                        if acc.name not in cur_tags:
                             rep("T2047", e.meta)
                             return None
                         if i + 1 < len(access):
@@ -426,22 +432,38 @@ class TypeCheck:
                     return None
                 if i < len(access):
                     if sbus:
-                        # nested bus access: re-dispatch through fields
+                        # nested bus access THROUGH the component
+                        # boundary: re-dispatch through fields; an
+                        # access that is neither a declared field nor
+                        # a declared tag of the current bus/field is
+                        # BU04 even in unexecuted branches
+                        # (type_check.rs bus-field typing)
                         bus = sbus
                         d2 = sd
+                        cur_tags = stags
                         while i < len(access):
                             a2 = access[i]
-                            if isinstance(a2, A.ComponentAccess) and bus:
+                            if not isinstance(a2, A.ComponentAccess):
+                                return None
+                            if bus:
                                 fld = self._bus_field(bus, a2.name)
                                 if fld is None:
+                                    if a2.name not in cur_tags:
+                                        rep("BU04", e.meta)
+                                        return None
                                     return _arith(0)
-                                d2, bus = fld
+                                d2, bus, cur_tags = fld
                                 i += 1
                                 d2, i = eat_arrays(access, d2, i)
                                 if d2 is None:
                                     return None
                             else:
-                                return None
+                                # tag access on the scalar field we
+                                # descended into
+                                if a2.name not in cur_tags:
+                                    rep("BU04", e.meta)
+                                    return None
+                                return _arith(0)
                         return (("b", bus, d2) if bus
                                 else _arith(d2))
                     # tag read on a subcomponent io signal: the tag

@@ -297,3 +297,60 @@ component main = T();
     from circom_tpu.compiler.pipeline import compile_source as cs
     cc = cs(src)
     assert cc.witness_host({})[1] == 24
+
+
+def test_bus_field_misuse_through_component_dead_branch():
+    """Bus-field typing THROUGH a component boundary, in a branch the
+    executor never reaches (type_check.rs bus typing over component
+    io): nonexistent field on a subcomponent's bus output -> BU04;
+    nested valid access passes."""
+    src = """
+pragma circom 2.0.0;
+bus In2(){ signal re; signal im; }
+bus Pt(){ signal xx; In2() n; }
+template Sub() {
+    signal input a;
+    output Pt() p;
+    p.xx <== a; p.n.re <== a; p.n.im <== a + 1;
+}
+template T() {
+    signal input x;
+    signal output y;
+    component s = Sub();
+    s.a <== x;
+    if (0 == 1) {
+        var q = s.p.zz;      // BU04: Pt declares no field zz
+        var r2 = s.p.n.ww;   // BU04: nested bus field missing
+    }
+    y <== s.p.n.re;          // valid nested access through component
+}
+component main = T();
+"""
+    cs = codes_of(src)
+    assert cs.count("BU04") >= 2, cs
+
+
+def test_bus_field_tag_through_component():
+    """A declared tag on a bus FIELD is accessible (scalar); an
+    undeclared one reports BU04 — both through the component."""
+    src = """
+pragma circom 2.0.0;
+bus Pt(){ signal {binary} xx; }
+template Sub() {
+    signal input a;
+    output Pt() p;
+    p.xx <== a * 0;
+}
+template T() {
+    signal input x;
+    signal output y;
+    component s = Sub();
+    s.a <== x;
+    if (0 == 1) {
+        var t2 = s.p.xx.nope;  // BU04: xx declares no tag `nope`
+    }
+    y <== x;
+}
+component main = T();
+"""
+    assert "BU04" in codes_of(src)
