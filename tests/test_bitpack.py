@@ -149,3 +149,30 @@ def test_word_circuit_parity_mixed():
             got = sum(int(wd[r, i, j]) << (16 * i)
                       for i in range(f.L))
             assert got == w[wi], (r, wi)
+
+
+def test_sha256_plan_stays_packed():
+    """Flagship tripwire: the real SHA256 circuit's interpreter plan
+    must stay word-packed (a silent bitpack regression would show up
+    as a step-count explosion long before the bench runs)."""
+    import os
+
+    src = (open(os.path.join(os.path.dirname(__file__), "..",
+                             "circom_tpu", "circuits",
+                             "sha256.circom")).read()
+           + "\ncomponent main = Sha256Block();\n")
+    cc = compile_source(src)
+    tape, _ = cc.build_tape()
+    spec = field_spec("bn128")
+    ranges = cc.input_range_hints()
+    assert len(ranges) == tape.n_inputs
+    prog = WitnessProgram(tape, spec, unroll_threshold=0,
+                          mode="interp", input_ranges=ranges)
+    f = prog.fused
+    # bit-blasted plan was ~164k steps; packed is ~36k
+    assert f.n_steps < 60_000, f.n_steps
+    # ~25k witness bits ride packed word rows
+    assert len(f._bit_src) > 20_000, len(f._bit_src)
+    # SHA stays pure-narrow (zero wide field ops)
+    ops = f.stats()["ops"]
+    assert not any(op in ops for op in ("mul", "mul_c", "widen")), ops
