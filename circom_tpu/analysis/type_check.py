@@ -48,14 +48,19 @@ _MSG = {
     "T2013": "function returns different types depending on the branch",
     "T2046": "operands must have the same dimension",
     "T2051": "the main component cannot have inputs with tags",
-    "T2047": "signal does not declare this tag",
+    # undeclared tag on a signal or (bus-)field, in BOTH the direct-
+    # signal and through-component shapes: the reference constructs
+    # only InvalidTagAccess here (type_check.rs:1145-1151, :1330;
+    # InvalidSignalTagAccess T2047 / InvalidSignalAccessInBus BU04 are
+    # mapped in error_code.rs but never built by type_check)
+    "T2048": "Tag not found in signal: only accesses to tags that "
+             "appear in the definition of the signal are allowed",
     "T2048-A": "the tags of an output signal cannot be modified "
                "outside its template",
     "T2048-B": "the tags of an input signal cannot be modified outside "
                "its template",
     "T2048-C": "the tags of an input signal cannot be accessed outside "
                "its template",
-    "BU04": "field or tag not declared by the bus",
 }
 
 
@@ -390,7 +395,7 @@ class TypeCheck:
                             # declared (InvalidSignalAccessInBus BU04
                             # otherwise)
                             if acc.name not in cur_tags:
-                                rep("BU04", e.meta)
+                                rep("T2048", e.meta)
                                 return None
                             return _arith(0)
                         d, bus, cur_tags = fld
@@ -403,7 +408,7 @@ class TypeCheck:
                         # descended into) must DECLARE the tag
                         # (InvalidSignalTagAccess T2047); scalar value
                         if acc.name not in cur_tags:
-                            rep("T2047", e.meta)
+                            rep("T2048", e.meta)
                             return None
                         if i + 1 < len(access):
                             rep("T2032", e.meta)
@@ -449,7 +454,7 @@ class TypeCheck:
                                 fld = self._bus_field(bus, a2.name)
                                 if fld is None:
                                     if a2.name not in cur_tags:
-                                        rep("BU04", e.meta)
+                                        rep("T2048", e.meta)
                                         return None
                                     return _arith(0)
                                 d2, bus, cur_tags = fld
@@ -461,7 +466,7 @@ class TypeCheck:
                                 # tag access on the scalar field we
                                 # descended into
                                 if a2.name not in cur_tags:
-                                    rep("BU04", e.meta)
+                                    rep("T2048", e.meta)
                                     return None
                                 return _arith(0)
                         return (("b", bus, d2) if bus
@@ -473,7 +478,7 @@ class TypeCheck:
                     a2 = access[i]
                     if isinstance(a2, A.ComponentAccess):
                         if a2.name not in stags:
-                            rep("T2047", e.meta)
+                            rep("T2048", e.meta)
                             return None
                         if writing:
                             # io tags are never writable from outside

@@ -572,6 +572,12 @@ class InterpreterProgram:
                         nxt.append(parts[-1])
                     parts = nxt
                 w = parts[0]
+                if not isinstance(w, tuple) and xt.kind[w] != "compute":
+                    # a single-bit word at shift 0 is the raw input
+                    # node; packed words must be compute registers so
+                    # an emitb witness row has an emission step to
+                    # gather from (advisor r4 finding)
+                    w = emit_n1("ncopy", w)
             vec_words[vec] = w
             return w
 
@@ -2005,6 +2011,7 @@ class InterpreterProgram:
                        else -1)
                 idx[w_i] = n_const0 + n_const + pos_n[key]
         if self.n_steps and not interp and self.pl_gather \
+                and "noplgather" not in _ABLATE \
                 and not idx_n and not const_rows \
                 and all(s[0] == "emit" for s in self.wit_src):
             # fast path: one Pallas gather+un-block pass over the

@@ -58,7 +58,8 @@ class DomainTape:
     muls are flagged plain (executed on the narrow int32 lane by the
     interpreter backend)."""
 
-    def __init__(self, tape: Tape, narrow=None, plain_field=False):
+    def __init__(self, tape: Tape, narrow=None, plain_field=False,
+                 node_rng=None):
         self.src = tape
         self.ops = []
         self.args = []
@@ -68,7 +69,14 @@ class DomainTape:
         self.n_inputs = tape.n_inputs
         self.outputs = []
         self.plain_field = plain_field
+        # carried source-tape intervals for NORM-domain nodes keyed by
+        # THIS tape's node ids — lets the planner skip its duplicate
+        # range analysis on mapped nodes (the tape-level analysis in
+        # backend/ranges.py subsumes the plan-level rules for them)
+        self.node_rng = {}
+        self._src_rng = node_rng
         self._build(tape, narrow or frozenset())
+        self._src_rng = None
 
     def _build(self, tape: Tape, narrow_src):
         n = len(tape.ops)
@@ -169,8 +177,15 @@ class DomainTape:
                 d = dom[i]
                 args = tuple(get_in(a, d) for a in tape.args[i])
             op_out = "mulp" if (op == "mul" and is_plain) else op
-            new_id[(i, dom[i])] = emit(op_out, args, tape.imms[i], dom[i],
-                                       is_nrw)
+            nid = emit(op_out, args, tape.imms[i], dom[i], is_nrw)
+            new_id[(i, dom[i])] = nid
+            if dom[i] == NORM and self._src_rng is not None:
+                # identity-mapped NORM node: its raw value IS the
+                # logical value, so the tape-level interval (possibly
+                # None = proven nothing) transfers verbatim; MONT
+                # nodes and inserted conversions are NOT seeded so the
+                # planner's view of them is unchanged
+                self.node_rng[nid] = self._src_rng[i]
 
         for out in tape.outputs:
             self.outputs.append(get_in(out, NORM))
@@ -193,7 +208,8 @@ class WitnessProgram:
         from ..ops.limb_emit import GOLDILOCKS_P
 
         self.dt = DomainTape(tape, narrow=nset,
-                             plain_field=spec.p == GOLDILOCKS_P)
+                             plain_field=spec.p == GOLDILOCKS_P,
+                             node_rng=_rng)
         self.n_inputs = tape.n_inputs
         self.slots = max(1, slots)
         # fused-Pallas paths (production TPU backends): the in-kernel

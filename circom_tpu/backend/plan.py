@@ -43,7 +43,7 @@ class ExpandedTape:
 
     __slots__ = ("ops", "args", "imms", "kind", "cval", "iidx",
                  "out_ids", "live", "n_inputs", "L", "p", "R", "Rinv",
-                 "narrow", "plain")
+                 "narrow", "plain", "seed_rng")
 
     def __init__(self, dtape, spec: FieldSpec):
         from ..field.hostfield import HostField
@@ -162,6 +162,22 @@ class ExpandedTape:
                 raise UnsupportedTapeOp(op)
 
         self.out_ids = [new[o] for o in dtape.outputs]
+        # carry the tape-level intervals of identity-mapped NORM nodes
+        # (DomainTape.node_rng) onto their post-expansion ids so
+        # expanded_ranges can skip re-deriving them; cse collisions
+        # intersect (both intervals bound the SAME value)
+        self.seed_rng = {}
+        for di, r in (getattr(dtape, "node_rng", None) or {}).items():
+            xi = new.get(di)
+            if xi is None or kind[xi] != "compute":
+                continue
+            if xi in self.seed_rng:
+                prev = self.seed_rng[xi]
+                if prev is not None and r is not None:
+                    r = (max(prev[0], r[0]), min(prev[1], r[1]))
+                elif r is None:
+                    r = prev
+            self.seed_rng[xi] = r
         live = [False] * len(ops)
         stack = list(self.out_ids)
         while stack:
@@ -177,6 +193,7 @@ class ExpandedTape:
 
 
 NARROW_MAX = (1 << 31) - 1
+_MISS = object()
 
 
 def expanded_ranges(xt: "ExpandedTape", input_ranges=None):
@@ -264,7 +281,19 @@ def expanded_ranges(xt: "ExpandedTape", input_ranges=None):
                     else xt.cval[i] - p)
                    if xt.kind[i] == "const" else None),
         rng, ring_muls={"mulp"})
+    # nodes identity-mapped from the source tape carry the tape-level
+    # analysis result (ranges.analyze_ranges + sharpener + tag hints —
+    # a superset of the rules here), so their transfer AND sharpener
+    # walk are skipped; width<=1 seeds still register as sharpener
+    # atoms so synthesized ring gadgets over them keep sharpening
+    # (dedup of the duplicated range analyses, ~7s on SHA-class)
+    seed = getattr(xt, "seed_rng", None) or {}
     for i in range(n):
+        s = seed.get(i, _MISS)
+        if s is not _MISS:
+            rng[i] = s
+            sh._as_atom(i)
+            continue
         _tx(i)
         sh.visit(i)
     return rng

@@ -219,7 +219,9 @@ def main(argv=None):
 
     if getattr(args, "witness_tpu", None):
         from .backend.jax_backend import WitnessProgram
+        from .utils.cache import enable_persistent_cache
 
+        enable_persistent_cache()
         with open(args.witness_tpu) as f:
             batch_inputs = json.load(f)
         if isinstance(batch_inputs, dict):

@@ -853,6 +853,7 @@ class Executor:
             frame.declare_var(argname, _as_slice(self._to_domain(value)))
         fields = []
         pending = {}
+        field_tags = {}  # per-field declared tags (TagWire recursion)
 
         def walk(st):
             if isinstance(st, A.Block):
@@ -865,6 +866,8 @@ class Executor:
                 dims = [self._index_value(self._eval(d, frame), st.meta,
                                           what="size")
                         for d in st.dimensions]
+                if st.xtype.tags:
+                    field_tags[st.name] = tuple(st.xtype.tags)
                 if st.xtype.kind == "signal":
                     fields.append((st.name, tuple(dims), None))
                 elif st.xtype.kind == "bus":
@@ -893,7 +896,7 @@ class Executor:
                           "T2052", st.meta)
 
         walk(bus.body)
-        layout = BusLayout(name, key[1], fields)
+        layout = BusLayout(name, key[1], fields, field_tags)
         self.bus_memo[key] = layout
         return layout
 
@@ -902,6 +905,13 @@ class Executor:
         layout = self._bus_layout(closure.name, closure.params, meta)
         decl = SignalDecl(pending.name, pending.dims, pending.xtype,
                           pending.tags, layout)
+        if (pending.xtype == A.SignalType.INPUT
+                and pending.name in frame.preset_input_tags):
+            # caller-supplied tag values (wire-level AND dotted field
+            # paths) preset the input bus's tags, like scalar signals
+            for t, v in frame.preset_input_tags[pending.name].items():
+                if t in decl.tag_values:
+                    decl.tag_values[t] = v
         frame.signals[pending.name] = decl
         if frame.builder is not None:
             frame.builder.wire_order.append(decl)
@@ -923,6 +933,7 @@ class Executor:
         dims = list(decl.dims)
         unit = layout.size if layout is not None else 1
         start = 0
+        fpath = []  # descended bus-field names (dotted tag paths)
         while True:
             idxs = []
             while i < len(access) and isinstance(access[i], A.ArrayAccess):
@@ -958,10 +969,12 @@ class Executor:
                     dims = list(fdims)
                     layout = fsub
                     unit = fsub.size if fsub is not None else 1
+                    fpath.append(fname)
                     i += 1
                     continue
-                if fname in decl.tag_values and i == len(access) - 1:
-                    return ("tag", fname)
+                tagpath = ".".join(fpath + [fname])
+                if tagpath in decl.tag_values and i == len(access) - 1:
+                    return ("tag", tagpath)
                 raise err(
                     f"'{fname}' is not a field or tag of '{decl.name}'",
                     "BU04", meta,
@@ -1044,25 +1057,77 @@ class Executor:
             acc = self.domain.select(cond, vals[j], acc)
         return acc
 
+    @staticmethod
+    def _tag_field_segments(decl, tag):
+        """Leaf (start, count) ranges of the FIELD a dotted tag path
+        lives on, across every array element of the wire; None for
+        wire-level tags (no dot)."""
+        if "." not in tag or decl.layout is None:
+            return None
+        segs = decl.layout.field_segments(tag.rsplit(".", 1)[0])
+        if segs is None:
+            return None
+        unit = decl.layout.size
+        n_elems = 1
+        for d in decl.dims:
+            n_elems *= d
+        return [(e * unit + s, n)
+                for e in range(n_elems) for (s, n) in segs]
+
+    def _tag_is_init(self, decl, tag):
+        """Has the field this tag path lives on been assigned before
+        (per-field BusTagInfo.is_init analog)?  Wire-level tags gate on
+        the whole wire."""
+        segs = self._tag_field_segments(decl, tag)
+        a = decl.assigned.values
+        if segs is None:
+            return any(a)
+        return any(a[s + j] for (s, n) in segs for j in range(n))
+
+    def _tag_remaining(self, decl, tag):
+        """Unassigned leaf count of the tag path's field (per-field
+        remaining_inserts analog, assignment_utils.rs:130-148)."""
+        segs = self._tag_field_segments(decl, tag)
+        a = decl.assigned.values
+        if segs is None:
+            return sum(1 for x in a if not x)
+        return sum(1 for (s, n) in segs
+                   for j in range(n) if not a[s + j])
+
+    def _access_field_path(self, decl, access):
+        """Dotted bus-field path named by an access chain's
+        ComponentAccess prefix ("" when the whole wire is accessed)."""
+        fpath = []
+        layout = decl.layout
+        for a in access:
+            if isinstance(a, A.ComponentAccess):
+                if layout is not None \
+                        and layout.field(a.name) is not None:
+                    layout = layout.field(a.name)[3]
+                    fpath.append(a.name)
+                else:
+                    break
+        return ".".join(fpath)
+
     def _source_tags(self, rhe, frame):
-        """Tags carried by a DIRECT signal-to-signal assignment RHS
-        (tags do not survive arithmetic; assignment_utils.rs semantics).
-        Returns {tag: value|None} or None."""
+        """Tags carried by a DIRECT signal/bus-to-signal/bus assignment
+        RHS (tags do not survive arithmetic; assignment_utils.rs
+        semantics).  Returns {tag_or_dotted_path: value|None} rooted at
+        the assigned value — a bus FIELD source re-roots its subtree
+        ("sub.t" of the wire becomes "t" of the value) — or None."""
         if not isinstance(rhe, A.Variable):
             return None
         name = rhe.name
         decl = None
+        rest = rhe.access
+        is_output = False
         if name in frame.signals and not isinstance(
             frame.signals[name], PendingBus
         ):
             decl = frame.signals[name]
-            # ensure it is not a tag read itself
-            if any(isinstance(a, A.ComponentAccess)
-                   and a.name in decl.tag_values for a in rhe.access):
-                return None
         elif name in frame.components:
             try:
-                idxs0, sig, _rest = self._component_access_split(
+                idxs0, sig, rest = self._component_access_split(
                     rhe.access, frame, rhe.meta)
             except ExecError:
                 return None
@@ -1070,37 +1135,55 @@ class Executor:
             if cs is None or isinstance(cs, Slice) or sig is None:
                 return None
             decl = cs.signals.get(sig)
+            is_output = True
         if decl is None:
             return None
-        # compute_propagated_tags gating (assignment_utils.rs:30-45):
-        # while the source wire still has unassigned positions
-        # (remaining_inserts > 0), inherited (undeclared) tags do NOT
-        # propagate, and declared tags whose value was not user-fixed
-        # propagate with a null value.  Only a fully-assigned source
-        # (or a user-fixed `x.tag = v` value) propagates values.
-        # Subcomponent outputs are exempt: the child has executed, its
-        # outputs are complete (the reference reads their tags from the
-        # component representation, not through this gate).
-        if name in frame.components:
-            remaining = 0
-        else:
-            remaining = sum(1 for a in decl.assigned.values if not a)
+        # field path accessed on the source (re-rooting prefix); a
+        # terminal ComponentAccess that is a TAG read makes the RHS a
+        # scalar constant, not a signal source
+        fpath = []
+        layout = decl.layout
+        for a in rest or ():
+            if isinstance(a, A.ComponentAccess):
+                if layout is not None \
+                        and layout.field(a.name) is not None:
+                    layout = layout.field(a.name)[3]
+                    fpath.append(a.name)
+                else:
+                    return None  # tag read (or invalid; checked later)
+        prefix = ".".join(fpath)
+        scope = prefix + "." if prefix else ""
+        # compute_propagated_tags gating (assignment_utils.rs:30-45),
+        # PER FIELD (compute_propagated_tags_bus recursion): while the
+        # tag's own field still has unassigned positions, inherited
+        # (undeclared) tags do NOT propagate and declared tags without
+        # a user-fixed value propagate as valueless.  Subcomponent
+        # outputs are exempt: the child has executed, its outputs are
+        # complete.
         out = {}
         for t, v in decl.tag_values.items():
+            if scope:
+                if not t.startswith(scope):
+                    continue
+                key = t[len(scope):]
+            else:
+                key = t
+            remaining = 0 if is_output else self._tag_remaining(decl, t)
             if t in decl.value_defined or remaining == 0:
-                out[t] = v
+                out[key] = v
             elif t in decl.tags:
-                out[t] = None
+                out[key] = None
         return out
 
     def _check_and_inherit_tags(self, decl, rhe, frame, meta,
-                                strict=False):
+                                strict=False, target_path=""):
         """Tag flow on assignment (assignment_utils.rs
-        perform_tag_propagation + component_representation.rs
-        handle_tag_assignment_no_init/_init):
+        perform_tag_propagation + perform_tag_propagation_bus +
+        component_representation.rs handle_tag_assignment_no_init/_init):
 
         * strict (component-input boundary): every DECLARED tag of the
-          input is a caller obligation — the assigned expression must
+          input — wire-level AND per bus field, recursively (dotted
+          paths) — is a caller obligation: the assigned expression must
           carry it (AssignmentMissingTags); values are inherited on the
           first assignment and must match on later partial assignments
           (AssignmentTagInputTwice); undeclared extra tags are dropped
@@ -1112,50 +1195,70 @@ class Executor:
           across partial array assignments ("only have a tag in case it
           inherits the tag in all positions").  A user-fixed tag value
           (`x.tag = v`) is never overwritten.
+
+        `target_path` scopes the flow to one bus field's subtree when
+        the assignment targets `wire.field...` — entries outside the
+        subtree are untouched, and source tags are matched against the
+        subtree re-rooted (the reference navigates TagWire.fields by
+        the assigned signal's path, component_representation.rs:749-753).
+        Per-entry is_init gating is per FIELD, from the field's own
+        assigned leaves (per-field BusTagInfo.is_init analog).
         """
         src_tags = self._source_tags(rhe, frame)
         assigned = src_tags or {}
+        scope = target_path + "." if target_path else ""
+
+        def in_scope(t):
+            return t.startswith(scope) if scope else True
+
+        def rooted(t):
+            return t[len(scope):] if scope else t
+
         if strict:
             for t in decl.tags:
-                if t not in assigned:
+                if not in_scope(t):
+                    continue
+                key = rooted(t)
+                if key not in assigned:
                     raise err(
                         f"input '{decl.name}' requires tag '{t}' but the "
                         "assigned expression does not carry it", "T2040",
                         meta,
                     )
-            if not any(decl.assigned.values):
-                for t in decl.tags:
-                    decl.tag_values[t] = assigned[t]
-            else:
-                for t in decl.tags:
-                    if decl.tag_values.get(t) != assigned.get(t):
-                        raise err(
-                            "tags required by an input signal must carry "
-                            f"the same value in every assignment: input "
-                            f"'{decl.name}' already has a different value "
-                            f"for tag '{t}'", "T2040", meta,
-                        )
+                if not self._tag_is_init(decl, t):
+                    decl.tag_values[t] = assigned[key]
+                elif decl.tag_values.get(t) != assigned.get(key):
+                    raise err(
+                        "tags required by an input signal must carry "
+                        f"the same value in every assignment: input "
+                        f"'{decl.name}' already has a different value "
+                        f"for tag '{t}'", "T2040", meta,
+                    )
             return
         if not decl.tag_values and not assigned:
             return
-        is_init = any(decl.assigned.values)
         new_vals = {}
         for t, v in decl.tag_values.items():
+            if not in_scope(t):
+                new_vals[t] = v           # outside the assigned subtree
+                continue
+            key = rooted(t)
+            is_init = self._tag_is_init(decl, t)
             if t in decl.tags:            # declared: always kept
                 if t in decl.value_defined:
                     new_vals[t] = v       # user-fixed value wins
                 elif is_init:
-                    new_vals[t] = v if (t in assigned
-                                        and assigned[t] == v) else None
+                    new_vals[t] = v if (key in assigned
+                                        and assigned[key] == v) else None
                 else:
-                    new_vals[t] = assigned.get(t)
+                    new_vals[t] = assigned.get(key)
             else:                         # inherited earlier: intersect
-                if t in assigned and assigned[t] == v:
+                if key in assigned and assigned[key] == v:
                     new_vals[t] = v
-        if not is_init:
-            for t, v in assigned.items():
-                if t not in new_vals:
-                    new_vals[t] = v       # first assignment inherits
+        for key, v in assigned.items():
+            t = scope + key
+            if t not in new_vals and not self._tag_is_init(decl, t):
+                new_vals[t] = v           # first assignment inherits
         decl.tag_values = new_vals
 
     def _assign_signal(self, s, decl: SignalDecl, frame):
@@ -1189,7 +1292,9 @@ class Executor:
                     f"cannot assign a bus of type "
                     f"'{src.layout.bus_name}' to one of type "
                     f"'{decl.layout.bus_name}'", "BU05", s.meta)
-        self._check_and_inherit_tags(decl, s.rhe, frame, s.meta)
+        self._check_and_inherit_tags(
+            decl, s.rhe, frame, s.meta,
+            target_path=self._access_field_path(decl, s.access))
         value = self._eval(s.rhe, frame)
         self._store_signal_elements(decl, start, count, value, s.op, frame,
                                     s.meta, prefix="")
@@ -1202,7 +1307,9 @@ class Executor:
         k = self.domain.known_int(v)
         if k is None:
             raise err("tag values must be known constants", "T2062", s.meta)
-        if any(decl.assigned.values):
+        if self._tag_is_init(decl, tag):
+            # per-field: fixing a FIELD tag is legal until that field
+            # itself has an assigned leaf (BusTagInfo.is_init analog)
             raise err("tag assigned after signal assignment", "T2062", s.meta)
         decl.tag_values[tag] = k
         decl.value_defined.add(tag)
@@ -1416,9 +1523,17 @@ class Executor:
                 for x in s.initializations:
                     walk(x)
             elif isinstance(s, A.Declaration):
-                if (s.xtype.kind in ("signal", "bus") and s.xtype.tags
+                if (s.xtype.kind in ("signal", "bus")
                         and s.xtype.signal_type == A.SignalType.INPUT):
-                    found = True
+                    if s.xtype.tags:
+                        found = True
+                    elif s.xtype.kind == "bus":
+                        # the bus TYPE may declare tags on its fields
+                        # (recursively) — those are caller obligations
+                        # too, so the instance must defer until inputs
+                        # (with their TagWire values) arrive
+                        if self._bus_type_has_tags(s.xtype.bus_name):
+                            found = True
             elif isinstance(s, A.IfThenElse):
                 walk(s.if_case)
                 if s.else_case:
@@ -1427,6 +1542,43 @@ class Executor:
                 walk(s.stmt)
 
         walk(tmpl.body)
+        cache[name] = found
+        return found
+
+    def _bus_type_has_tags(self, name, _seen=None):
+        """Does a bus type (or any nested bus field type) declare tags
+        on a field?  AST-level, parameter-independent, cached."""
+        cache = getattr(self, "_bus_tag_cache", None)
+        if cache is None:
+            cache = self._bus_tag_cache = {}
+        if name in cache:
+            return cache[name]
+        _seen = _seen or set()
+        if name in _seen or name is None:
+            return False
+        _seen.add(name)
+        bus = self.archive.buses.get(name)
+        if bus is None:
+            return False
+        found = False
+
+        def walk(s):
+            nonlocal found
+            if isinstance(s, A.Block):
+                for x in s.stmts:
+                    walk(x)
+            elif isinstance(s, A.InitializationBlock):
+                for x in s.initializations:
+                    walk(x)
+            elif isinstance(s, A.Declaration):
+                if s.xtype.kind in ("signal", "bus"):
+                    if s.xtype.tags:
+                        found = True
+                    elif s.xtype.kind == "bus" and self._bus_type_has_tags(
+                            s.xtype.bus_name, _seen):
+                        found = True
+
+        walk(bus.body)
         cache[name] = found
         return found
 
@@ -1439,6 +1591,7 @@ class Executor:
         for argname, value in zip(tmpl.args, closure.params):
             frame.declare_var(argname, _as_slice(self._to_domain(value)))
         wires = []
+        pending_bus = {}  # io bus wires awaiting their BusCall
 
         def walk(s):
             if isinstance(s, A.Block):
@@ -1464,11 +1617,22 @@ class Executor:
                 elif s.xtype.kind == "bus" and s.xtype.signal_type in (
                     A.SignalType.INPUT, A.SignalType.OUTPUT,
                 ):
-                    raise err(
-                        "tagged templates with bus io are not supported "
-                        "yet", "T2038", s.meta,
-                    )
+                    # bus io: the layout resolves at the BusCall
+                    # substitution the parser splits the declaration
+                    # into (`p = Pt(...)`)
+                    dims = [self._index_value(self._eval(d, frame), s.meta,
+                                              what="size")
+                            for d in s.dimensions]
+                    pending_bus[s.name] = (dims, s.xtype.signal_type,
+                                           s.xtype.tags)
             elif isinstance(s, A.Substitution):
+                if s.var in pending_bus and not s.access:
+                    v = self._eval(s.rhe, frame)
+                    if isinstance(v, BusClosure):
+                        dims, xtype, tags = pending_bus.pop(s.var)
+                        layout = self._bus_layout(v.name, v.params, s.meta)
+                        wires.append((s.var, dims, xtype, tags, layout))
+                        return
                 try:
                     target = frame.lookup_var(s.var)
                 except Exception:
@@ -1561,8 +1725,9 @@ class Executor:
         # tagged inputs: the assigned expression must carry the tags;
         # collected values become part of the instance identity.
         if decl.tags and rhe_ast is not None:
-            self._check_and_inherit_tags(decl, rhe_ast, frame, meta,
-                                         strict=True)
+            self._check_and_inherit_tags(
+                decl, rhe_ast, frame, meta, strict=True,
+                target_path=self._access_field_path(decl, rest_access))
             cs.input_tag_values[sig_name] = dict(decl.tag_values)
         count = self._store_signal_elements(
             decl, start, count, value, op, frame, meta, prefix=prefix)

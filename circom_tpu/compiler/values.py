@@ -142,14 +142,20 @@ class BusLayout:
     compiler/src/hir/very_concrete_program.rs:139-144).
 
     fields: list of (name, dims, sub_layout_or_None) in declaration order.
+    field_tags: {field_name: tuple of tag names declared on the field in
+    the bus definition} — the declaration side of the reference's
+    per-field TagWire recursion (execution_data/type_definitions.rs:21-23,
+    assignment_utils.rs:130 perform_tag_propagation_bus).
     """
 
-    __slots__ = ("bus_name", "params_key", "fields", "size", "_offsets")
+    __slots__ = ("bus_name", "params_key", "fields", "size", "_offsets",
+                 "field_tags")
 
-    def __init__(self, bus_name, params_key, fields):
+    def __init__(self, bus_name, params_key, fields, field_tags=None):
         self.bus_name = bus_name
         self.params_key = params_key
         self.fields = fields
+        self.field_tags = field_tags or {}
         self._offsets = {}
         off = 0
         for (name, dims, sub) in fields:
@@ -182,6 +188,50 @@ class BusLayout:
     def key(self):
         return (self.bus_name, self.params_key)
 
+    def declared_tag_paths(self, prefix=""):
+        """All declared field-tag paths of this layout, recursively,
+        as dotted strings relative to the wire ("x.binary",
+        "sub.y.maxbit") — the flattened form of the reference's
+        per-field TagWire tree."""
+        out = []
+        for (fname, _dims, sub) in self.fields:
+            for t in self.field_tags.get(fname, ()):
+                out.append(prefix + fname + "." + t)
+            if sub is not None:
+                out.extend(sub.declared_tag_paths(prefix + fname + "."))
+        return out
+
+    def field_segments(self, path):
+        """Leaf (offset, count) segments WITHIN ONE wire element for a
+        dotted field path ("a" or "a.b").  A field nested under an
+        arrayed bus field contributes one segment per element of that
+        array — tags are per-field across all positions ("only have a
+        tag in case it inherits the tag in all positions",
+        assignment_utils.rs:50).  Returns None for an unknown path."""
+        parts = path.split(".")
+        layout = self
+        base_offsets = [0]
+        for k, fname in enumerate(parts):
+            if layout is None:
+                return None
+            f = layout.field(fname)
+            if f is None:
+                return None
+            off, n, dims, sub = f
+            n_el = 1
+            for d in dims:
+                n_el *= d
+            el_size = n // n_el if n_el else 0
+            new_offsets = []
+            for b in base_offsets:
+                for e in range(n_el):
+                    new_offsets.append(b + off + e * el_size)
+            if k == len(parts) - 1:
+                return [(b, el_size) for b in new_offsets]
+            base_offsets = new_offsets
+            layout = sub
+        return None
+
 
 class BusClosure:
     """Result of evaluating `BusName(params)` before wire binding."""
@@ -204,7 +254,17 @@ class SignalDecl:
         self.dims = tuple(dims)
         self.xtype = xtype              # SignalType
         self.tags = list(tags)
-        self.tag_values = {t: None for t in tags}
+        # field tags declared in the bus definition enter the same
+        # dicts under DOTTED paths ("x.binary") — the flattened form
+        # of the reference's recursive TagWire (type_definitions.rs:
+        # 21-23); all wire-level tag machinery (inherit/intersect/
+        # strict-input checks/memo keys/recipe codec) then covers
+        # fields for free
+        if layout is not None:
+            for pth in layout.declared_tag_paths():
+                if pth not in self.tags:
+                    self.tags.append(pth)
+        self.tag_values = {t: None for t in self.tags}
         # tags whose value was fixed by the user (`x.tag = v`); such a
         # value is never overwritten by propagation
         # (assignment_utils.rs TagState.value_defined)

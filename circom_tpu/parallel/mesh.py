@@ -16,6 +16,21 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _without_pl_gather(fused, fn):
+    """Run `fn` with the fused program's Pallas-gather flag off, then
+    restore it.  The flag is consulted at trace time, so scoping the
+    override to the call keeps later unsharded runs of the same
+    program on the fast gather path (advisor r4 finding)."""
+    def wrapped(*args):
+        saved = fused.pl_gather
+        fused.pl_gather = False
+        try:
+            return fn(*args)
+        finally:
+            fused.pl_gather = saved
+    return wrapped
+
+
 def make_mesh(n_devices=None, axis="batch"):
     devs = jax.devices()
     if n_devices is not None:
@@ -46,9 +61,14 @@ def shard_program(program, mesh, axis="batch", use_fused=None):
         from jax.experimental.shard_map import shard_map
 
         # witness gather falls back to the XLA path inside shard_map
-        # regions (manual-DMA Pallas kernels fail remote compile there)
-        program.fused.pl_gather = False
-        body = shard_map(program.fused._run, mesh=mesh,
+        # regions (manual-DMA Pallas kernels fail remote compile there);
+        # pl_gather is read at trace time, so disable it only for the
+        # duration of this body's trace — NOT permanently on the
+        # shared program object (a later unsharded run keeps the fast
+        # Pallas gather path)
+        body = shard_map(_without_pl_gather(program.fused,
+                                            program.fused._run),
+                         mesh=mesh,
                          in_specs=(spec,), out_specs=spec,
                          check_rep=False)
         return jax.jit(body, in_shardings=in_sharding,
@@ -70,8 +90,9 @@ def shard_program_mixed(program, mesh, axis="batch"):
 
     in_spec = P(None, None, axis)
     out_specs = (P(None, axis), P(None, None, axis))
-    program.fused.pl_gather = False
-    body = shard_map(program.fused._run_mixed, mesh=mesh,
+    body = shard_map(_without_pl_gather(program.fused,
+                                        program.fused._run_mixed),
+                     mesh=mesh,
                      in_specs=(in_spec,), out_specs=out_specs,
                      check_rep=False)
     return jax.jit(

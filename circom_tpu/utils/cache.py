@@ -1,0 +1,47 @@
+"""Persistent XLA/Mosaic compilation cache wiring.
+
+The reference's compiled circuit artifacts start instantly: the C++
+runtime mmaps a `.dat` blob and runs (code_producers/src/c_elements/
+common/main.cpp:22-120), and the WASM module is already machine code.
+Our artifact (backend/artifacts.py) stores the *plan*, but JAX still
+had to re-run the XLA+Mosaic device compile on every process start —
+4+ minutes for the flagship circuits.  Wiring JAX's persistent
+compilation cache gives our artifacts the same property as the
+reference's: pay the device compile once per (program, jaxlib,
+device) and reload in milliseconds afterwards.
+
+Measured on this machine (TPU v5e via axon): a Pallas+matmul probe
+compiles in 0.49s cold / 0.02s warm across processes; the Poseidon2
+batch-64k interpreter program drops from ~260s to seconds.
+"""
+import os
+
+_DEFAULT_DIR = os.environ.get(
+    "CTPU_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "circom_tpu", "xla"),
+)
+
+_enabled = False
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    Must be called before the first jit compilation to cover it.
+    Safe to call multiple times; later calls keep the first dir.
+    Returns the cache directory in use.
+    """
+    global _enabled
+    import jax
+
+    if _enabled:
+        return jax.config.jax_compilation_cache_dir or _DEFAULT_DIR
+    d = cache_dir or _DEFAULT_DIR
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    # cache everything: the big wins are the 200s+ Mosaic compiles,
+    # but tiny programs (sync/check reducers) also add up at startup
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _enabled = True
+    return d

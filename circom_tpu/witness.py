@@ -42,6 +42,12 @@ def main(argv=None):
                     choices=[0, 1, 2, 3])
     args = ap.parse_args(argv)
 
+    # reload must not re-pay the device compile: the reference's
+    # compiled circuit starts instantly from .dat/.wasm (main.cpp:22)
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     tape, layout, meta = load_program(args.artifact)
     spec = field_spec(meta["prime"])
     hints = meta["input_range_hints"]

@@ -295,3 +295,157 @@ component main = Main();
 """
     cc = compile_source(src)
     assert cc.witness_host({"x": 1})[1] == 1
+
+
+# ---------------------------------------------------------------------------
+# Per-field bus tag propagation (perform_tag_propagation_bus,
+# assignment_utils.rs:130; TagWire.fields, type_definitions.rs:21-23).
+# Field tags live in the same dicts as wire tags, under dotted paths.
+# ---------------------------------------------------------------------------
+
+PT = """
+bus Pt() {
+    signal {binary} x;
+    signal y;
+}
+"""
+
+NESTED = """
+bus In2() {
+    signal {maxbit} v;
+}
+bus Out2() {
+    In2() n;
+    signal w;
+}
+"""
+
+
+def test_bus_field_tag_required_by_subcomponent_input():
+    """A tagged bus FIELD is a caller obligation at the component
+    boundary: assigning arithmetic (no tags) into the field reports
+    AssignmentMissingTags (handle_tag_assignment_no_init walks
+    TagWire.fields by the assigned path)."""
+    src = P + PT + """
+template Sub() {
+    input Pt() p;
+    signal output out;
+    out <== p.x + p.y;
+}
+template Main() {
+    signal input in;
+    component s = Sub();
+    s.p.x <== in * 1;
+    s.p.y <== in;
+    signal output out <== s.out;
+}
+component main = Main();
+"""
+    expect(src, "T2040")
+
+
+def test_bus_field_tag_satisfied_by_tagged_scalar():
+    """The same field assignment from a {binary}-tagged scalar source
+    satisfies the obligation."""
+    src = P + BITIFY + PT + """
+template Sub() {
+    input Pt() p;
+    signal output out;
+    out <== p.x + p.y;
+}
+template Main() {
+    signal input in;
+    component b = Bitify();
+    b.in <== in;
+    component s = Sub();
+    s.p.x <== b.out;
+    s.p.y <== in;
+    signal output out <== s.out;
+}
+component main = Main();
+"""
+    assert reports_of(src) == []
+
+
+def test_bus_field_tag_value_visible_inside_subcomponent():
+    """A user-fixed field tag value (`q.x.binary = 1`) propagates
+    through the whole-bus input assignment and is readable INSIDE the
+    child (preset_input_tags with dotted paths; the value also enters
+    the instance memo key)."""
+    src = P + PT + """
+template Sub() {
+    input Pt() p;
+    signal output out;
+    out <== p.x * p.x.binary + p.y;
+}
+template Main() {
+    signal input in;
+    Pt() q;
+    q.x.binary = 1;
+    q.x <== in * in;
+    q.y <== in;
+    component s = Sub();
+    s.p <== q;
+    signal output out <== s.out;
+}
+component main = Main();
+"""
+    cc = compile_source(src, simplification="O0")
+    w = cc.witness_host({"in": 3})
+    # out = x*1 + y = 9 + 3
+    assert w[1] == 12
+
+
+def test_nested_bus_field_tag_value_through_component():
+    """Nested recursion: a value-fixed tag two levels deep
+    (out.n.v.maxbit) set by the CHILD on its output bus is exported to
+    the caller and readable as `s.o.n.v.maxbit`
+    (insert_tags_output path-walk analog)."""
+    src = P + NESTED + """
+template Sub() {
+    signal input a;
+    output Out2() o;
+    o.n.v.maxbit = 8;
+    o.n.v <== a;
+    o.w <== a + 1;
+}
+template Main() {
+    signal input in;
+    component s = Sub();
+    s.a <== in;
+    signal output out <== s.o.n.v + s.o.n.v.maxbit;
+}
+component main = Main();
+"""
+    cc = compile_source(src, simplification="O0")
+    w = cc.witness_host({"in": 5})
+    assert w[1] == 13  # 5 + 8
+
+
+def test_bus_array_partial_assignment_intersects_field_tag_value():
+    """Partial assignments of a bus ARRAY intersect field tag values:
+    two sources fixing different values for x.binary leave the wire's
+    field tag valueless — reading it afterwards errors ("only have a
+    tag in case it inherits the tag in all positions")."""
+    src = P + PT + """
+template MkPt(b) {
+    signal input in;
+    output Pt() o;
+    o.x.binary = b;
+    o.x <== in;
+    o.y <== in + 1;
+}
+template Main() {
+    signal input in;
+    component m0 = MkPt(0);
+    component m1 = MkPt(1);
+    m0.in <== in;
+    m1.in <== in;
+    Pt() p[2];
+    p[0] <== m0.o;
+    p[1] <== m1.o;
+    signal output out <== p[0].x + p[1].x.binary;
+}
+component main = Main();
+"""
+    expect(src, "T2048")  # x.binary has no value after intersection

@@ -206,7 +206,7 @@ template T() {
     signal {m} s;
     component c = B();
     if (0 == 1) {
-        var a = s.nosuchtag;    // T2047: tag not declared
+        var a = s.nosuchtag;    // T2048: tag not declared
         var b2 = c.i.u;         // T2048-C: input tag outside
     }
     s <== x;
@@ -216,7 +216,7 @@ template T() {
 component main = T();
 """
     cs = codes_of(src)
-    assert "T2047" in cs and "T2048-C" in cs
+    assert "T2048" in cs and "T2048-C" in cs
 
 
 def test_static_tag_write_outside_in_dead_branch():
@@ -241,7 +241,7 @@ component main = T();
 
 def test_static_bus_field_typing_in_dead_branch():
     """Bus-field access through component boundaries, statically, in
-    dead branches: a nonexistent field/tag reports BU04."""
+    dead branches: a nonexistent field/tag reports T2048."""
     src = """
 pragma circom 2.0.0;
 bus Pt(){ signal xx; signal yy; }
@@ -251,7 +251,7 @@ template T() {
     Pt() p;
     p.xx <== x; p.yy <== x;
     if (0 == 1) {
-        var a = p.zz;        // BU04: no such field or tag
+        var a = p.zz;        // T2048: no such field or tag
         var b2 = p.xx[1];    // T2032: scalar field indexed
     }
     y <== x;
@@ -259,7 +259,7 @@ template T() {
 component main = T();
 """
     cs = codes_of(src)
-    assert "BU04" in cs and "T2032" in cs
+    assert "T2048" in cs and "T2032" in cs
 
 
 def test_unable_to_type_function_t2004():
@@ -302,7 +302,7 @@ component main = T();
 def test_bus_field_misuse_through_component_dead_branch():
     """Bus-field typing THROUGH a component boundary, in a branch the
     executor never reaches (type_check.rs bus typing over component
-    io): nonexistent field on a subcomponent's bus output -> BU04;
+    io): nonexistent field on a subcomponent's bus output -> T2048;
     nested valid access passes."""
     src = """
 pragma circom 2.0.0;
@@ -319,20 +319,21 @@ template T() {
     component s = Sub();
     s.a <== x;
     if (0 == 1) {
-        var q = s.p.zz;      // BU04: Pt declares no field zz
-        var r2 = s.p.n.ww;   // BU04: nested bus field missing
+        var q = s.p.zz;      // T2048: Pt declares no field zz
+        var r2 = s.p.n.ww;   // T2048: nested bus field missing
     }
     y <== s.p.n.re;          // valid nested access through component
 }
 component main = T();
 """
     cs = codes_of(src)
-    assert cs.count("BU04") >= 2, cs
+    assert cs.count("T2048") >= 2, cs
 
 
 def test_bus_field_tag_through_component():
     """A declared tag on a bus FIELD is accessible (scalar); an
-    undeclared one reports BU04 — both through the component."""
+    undeclared one reports T2048 — both through the component
+    (the reference constructs only InvalidTagAccess, type_check.rs:1330)."""
     src = """
 pragma circom 2.0.0;
 bus Pt(){ signal {binary} xx; }
@@ -347,10 +348,10 @@ template T() {
     component s = Sub();
     s.a <== x;
     if (0 == 1) {
-        var t2 = s.p.xx.nope;  // BU04: xx declares no tag `nope`
+        var t2 = s.p.xx.nope;  // T2048: xx declares no tag `nope`
     }
     y <== x;
 }
 component main = T();
 """
-    assert "BU04" in codes_of(src)
+    assert "T2048" in codes_of(src)
