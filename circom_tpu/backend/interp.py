@@ -529,6 +529,108 @@ class InterpreterProgram:
                 xt, comp, rngx, split_plan, split_shr, self.nin_of,
                 out_set, consumers, split_absorbed)
         fam_member = bitpack.member if bitpack else {}
+
+        # --- narrow word-sum pass -------------------------------------
+        # CSE-shared NARROW add-trees of bit*2^k products (binsum
+        # partial sums in SHA) bypass both the split-sum pass and the
+        # nroots reassociation (wide roots only), leaving their
+        # products to execute scalar (~5.3k nmul + ~5.4k nadd on
+        # SHA256 post-DCE).  Same cure as the split path: group
+        # family-member / input-atom products into whole masked+
+        # shifted packed words via _grouped; the tree is proven int32
+        # so the group sums stay narrow with no lo/hi split.
+        nword_plan = {}
+        if bitpack is not None:
+            half_p = xt.p >> 1
+            nword_prod_uses = {}
+            for i in reversed(comp):
+                if xt.ops[i] != "add" or not is_nrw(i) \
+                        or i in absorbed or i in fam_member \
+                        or rngx[i] is None:
+                    continue
+                leaves, K_acc, local = [], 0, []
+                stack = list(xt.args[i])
+                while stack:
+                    x = stack.pop()
+                    if xt.kind[x] == "const":
+                        K_acc = (K_acc + xt.cval[x]) % xt.p
+                        continue
+                    if (xt.kind[x] == "compute" and xt.ops[x] == "add"
+                            and is_nrw(x) and uses.get(x, 0) == 1
+                            and x not in out_set and x not in absorbed
+                            and x not in fam_member
+                            and x not in nword_plan):
+                        local.append(x)
+                        stack.extend(xt.args[x])
+                        continue
+                    leaves.append(x)
+                K_sv = K_acc if K_acc <= half_p else K_acc - xt.p
+                if abs(K_sv) > NM31:
+                    continue
+                # classify leaves; track positive/negative partial-sum
+                # bounds (any accumulation order must stay int32)
+                items, prods = [], []
+                groups = {}
+                pos_b = max(K_sv, 0)
+                neg_b = min(K_sv, 0)
+                ok = True
+                for x in leaves:
+                    r = rngx[x]
+                    if r is None:
+                        ok = False
+                        break
+                    pos_b += max(r[1], 0)
+                    neg_b += min(r[0], 0)
+                    v = c = None
+                    if xt.kind[x] == "compute" and xt.ops[x] == "mulp":
+                        a0, a1 = xt.args[x]
+                        if xt.kind[a1] == "const":
+                            v, cn = a0, a1
+                        elif xt.kind[a0] == "const":
+                            v, cn = a1, a0
+                        else:
+                            v = None
+                        if v is not None:
+                            c = xt.cval[cn]
+                            if not c or (c & (c - 1)) \
+                                    or not (v in fam_member
+                                            or v in bitpack.atom):
+                                v = None
+                    if v is not None:
+                        m = fam_member.get(v)
+                        sk = (("f", m[0]) if m is not None
+                              else ("v", bitpack.atom[v][0]))
+                        p_ = (m[1] if m is not None
+                              else bitpack.atom[v][1])
+                        groups.setdefault(
+                            (sk, c.bit_length() - 1 - p_),
+                            []).append((x, v, c))
+                    else:
+                        items.append(("node", x))
+                if not ok or pos_b > NM31 or neg_b < -NM31:
+                    continue
+                n_grouped = sum(len(g) for g in groups.values()
+                                if len(g) >= 3)
+                if n_grouped < 3:
+                    continue
+                for g in groups.values():
+                    for (x, v, c) in g:
+                        items.append(("prod", v, c))
+                        prods.append(x)
+                nword_plan[i] = (items, K_acc)
+                absorbed.update(local)
+                for x in prods:
+                    nword_prod_uses[x] = nword_prod_uses.get(x, 0) + 1
+            # product nodes whose every use is covered by split-sum
+            # leaves and/or nword groups never materialize scalar
+            for x, n_su in nword_prod_uses.items():
+                if n_su + split_prod_uses.get(x, 0) \
+                        == uses.get(x, 0) and x not in out_set:
+                    absorbed.add(x)
+            if os.environ.get("CTPU_DEBUG") and nword_plan:
+                print(f"# nword: {len(nword_plan)} narrow word-sums, "
+                      f"{len(nword_prod_uses)} grouped products")
+        self.n_nword = len(nword_plan)
         vec_words, fam_words = {}, {}
 
         def emit_n1(op, a, imm=None):
@@ -798,6 +900,12 @@ class InterpreterProgram:
                     alias[i] = t_n
                 else:
                     steps.append(("nshr", t_n, None, None, i, k - 16))
+                continue
+            if i in nword_plan:
+                its, kc = nword_plan[i]
+                extra, rest = _grouped(its)
+                acc = _nsum(rest, kc, extra)
+                alias[i] = as_node(acc)
                 continue
             if i in nroots:
                 leaves_n, leaves_w, K2 = nroots[i]
@@ -2447,28 +2555,43 @@ class InterpreterProgram:
             cell_uniq.append(list(seen))
         U = max(2, maxu)
         uniq_p = np.zeros((n_cells, U), np.int32)
+        cnt_p = np.zeros(n_cells, np.int32)
         for c, rows in enumerate(cell_uniq):
             uniq_p[c, :len(rows)] = rows
             uniq_p[c, len(rows):] = rows[0] if rows else 0
+            cnt_p[c] = max(1, len(rows))
 
-        def kern(uniq_ref, jm_ref, sh_ref, bank_ref, out_ref,
+        def kern(uniq_ref, cnt_ref, jm_ref, sh_ref, bank_ref, out_ref,
                  scratch, tr, sem):
             c = pl.program_id(0)
+            cnt = cnt_ref[c]
             # each row slab bank[:, r] is G strided 8*bb segments —
-            # one DMA descriptor set per distinct row, no relayout pass
+            # one DMA descriptor set per distinct row, no relayout
+            # pass.  DMAs and un-block copies are PREDICATED on the
+            # cell's own distinct-row count: witness rows come in long
+            # single-word runs, so most cells touch 2-3 rows, but ~30
+            # scattered boundary cells force U=32 — a global U makes
+            # EVERY cell pay 32 row DMAs (27k instead of ~2.9k on
+            # SHA256, the dominant gather cost)
             for u in range(U):
-                pltpu.make_async_copy(
-                    bank_ref.at[:, uniq_ref[c, u]],
-                    scratch.at[u], sem.at[u]).start()
+                @pl.when(u < cnt)
+                def _():
+                    pltpu.make_async_copy(
+                        bank_ref.at[:, uniq_ref[c, u]],
+                        scratch.at[u], sem.at[u]).start()
             for u in range(U):
-                pltpu.make_async_copy(
-                    bank_ref.at[:, uniq_ref[c, u]],
-                    scratch.at[u], sem.at[u]).wait()
-            # un-block the U distinct rows once (U*G small copies),
+                @pl.when(u < cnt)
+                def _():
+                    pltpu.make_async_copy(
+                        bank_ref.at[:, uniq_ref[c, u]],
+                        scratch.at[u], sem.at[u]).wait()
+            # un-block the distinct rows once (cnt*G small copies),
             # then each output row is ONE whole-slab select
             for u in range(U):
-                for g in range(G):
-                    tr[u, :, g, :] = scratch[u, g]
+                @pl.when(u < cnt)
+                def _():
+                    for g in range(G):
+                        tr[u, :, g, :] = scratch[u, g]
             for j in range(RC):
                 s = sh_ref[c * RC + j]
                 su = jnp.maximum(s, 0).astype(jnp.uint32)
@@ -2481,7 +2604,7 @@ class InterpreterProgram:
             kern,
             out_shape=jax.ShapeDtypeStruct((W, 8, G, bb), bank.dtype),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
+                num_scalar_prefetch=4,
                 grid=(n_cells,),
                 in_specs=[pl.BlockSpec(
                     memory_space=pltpu.MemorySpace.ANY)],
@@ -2494,7 +2617,7 @@ class InterpreterProgram:
                     pltpu.VMEM((U, 8, G, bb), jnp.int32),
                     pltpu.SemaphoreType.DMA((U,))],
             ),
-        )(uniq_p, cell_map, sh_p, bank)
+        )(uniq_p, cnt_p, cell_map, sh_p, bank)
 
     def run(self, inputs):
         if self._jit is None:

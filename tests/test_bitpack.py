@@ -176,3 +176,58 @@ def test_sha256_plan_stays_packed():
     # SHA stays pure-narrow (zero wide field ops)
     ops = f.stats()["ops"]
     assert not any(op in ops for op in ("mul", "mul_c", "widen")), ops
+
+
+NWORD_SRC = r"""
+pragma circom 2.0.0;
+template SharedSum() {
+    // xor-gadget bits (a packed family) summed bit*2^k into a NARROW
+    // value that is SHARED by two consumers: such sums bypass both
+    // the split-sum pass (wide roots only, all-shift consumers) and
+    // the wide nroots reassociation — the narrow word-sum pass must
+    // group the products into masked/shifted packed words.
+    signal input x[32];
+    signal input y[32];
+    signal g[30];
+    signal output o1;
+    signal output o2;
+    for (var k = 0; k < 32; k++) {
+        x[k] * (x[k] - 1) === 0;
+        y[k] * (y[k] - 1) === 0;
+    }
+    var lc = 0;
+    for (var k = 0; k < 30; k++) {
+        g[k] <== x[k] + y[k] - 2*x[k]*y[k];  // xor family
+        lc += g[k] * 2 ** k;
+    }
+    o1 <== lc + x[30];
+    o2 <== lc + y[31];
+}
+component main = SharedSum();
+"""
+
+
+def test_narrow_word_sum_pass():
+    """A CSE-shared narrow bit-lincomb plans as word sums (nword) and
+    the witness matches the host calculator exactly."""
+    cc = compile_source(NWORD_SRC, prime=PRIME)
+    tape, _ = cc.build_tape()
+    ranges = cc.input_range_hints()
+    prog = WitnessProgram(tape, SPEC, unroll_threshold=0, mode="interp",
+                          input_ranges=ranges)
+    f = prog.fused
+    assert f.n_nword >= 1, "narrow word-sum pass did not fire"
+    ops = f.stats()["ops"]
+    assert "nmul" not in ops, ops  # every product grouped away
+    rng = random.Random(31)
+    B = 16
+    cols = [[rng.randrange(2) for _ in range(B)]
+            for _ in range(tape.n_inputs)]
+    arr = prog.encode_inputs(cols)
+    out = np.asarray(prog.run(arr))
+    for j in range(0, B, 3):
+        w = cc.witness_host({
+            "x": [cols[k][j] for k in range(32)],
+            "y": [cols[32 + k][j] for k in range(32)]})
+        exp = np.asarray(ints_to_limbs(w, prog.jf.L))
+        assert (out[:, :, j] == exp).all(), f"column {j}"
