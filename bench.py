@@ -380,18 +380,21 @@ def median_time(run_sync, reps, windows=5):
     return times[len(times) // 2]
 
 
-# good-state canary bound (ms), measured on TPU v5e via axon; the
-# canary is a fixed VPU/HBM-bound uint32 kernel, so a reading far
-# above this means the device/relay is in a degraded state and the
-# workload numbers should be read accordingly (ROOFLINE.md records
-# ~1.6x ambient variance between sessions)
-_CANARY_GOOD_MS = 9.0
+# good-state canary bound (ms) on TPU v5e via axon.  The canary is a
+# COMPUTE-DOMINATED chained uint32 kernel (4096 fori_loop rounds over
+# a 16MiB tile, ~28ms of VPU work in the observed slow state) so that
+# the ~27ms relay round-trip per dispatch cannot mask device-state
+# changes; a single-dispatch canary only measures the relay RTT.
+# Calibration (r5): slow state 55.5ms (~1.6x documented variance);
+# modeled good state ~40ms.
+_CANARY_GOOD_MS = 40.0
 
 
 def run_canary(jax, extras):
-    """Fixed uint32 mul/add/xor slab, 64 rounds over a 16MiB tile —
-    the same instruction class as the Montgomery REDC inner loop.
-    Returns median ms; flags device_state degraded past the bound."""
+    """Fixed uint32 mul/add/xor slab — the same instruction class as
+    the Montgomery REDC inner loop.  Also records the relay round-trip
+    (single tiny dispatch).  Flags device_state degraded past the
+    bound."""
     import jax.numpy as jnp
 
     x = jnp.full((8, 128, 4096), jnp.uint32(0x12345678))
@@ -400,18 +403,24 @@ def run_canary(jax, extras):
         def body(_i, x):
             return ((x * jnp.uint32(2654435761) + jnp.uint32(12345))
                     ^ (x >> 7))
-        return jax.lax.fori_loop(0, 256, body, x)
+        return jax.lax.fori_loop(0, 4096, body, x)
 
     try:
+        tiny = jax.jit(lambda a: a.sum()).lower(
+            jax.ShapeDtypeStruct((8, 128), jnp.uint32)).compile()
+        xt = jnp.ones((8, 128), jnp.uint32)
+        np.asarray(tiny(xt))  # warm (pays the per-process device init)
+        rtt = median_time(lambda: np.asarray(tiny(xt)), reps=1) * 1e3
+        extras["relay_rtt_ms"] = round(rtt, 1)
         fn = jax.jit(k).lower(
             jax.ShapeDtypeStruct(x.shape, x.dtype)).compile()
         np.asarray(fn(x).sum())  # warm
-        ms = median_time(lambda: np.asarray(fn(x).sum()), reps=3) * 1e3
+        ms = median_time(lambda: np.asarray(fn(x).sum()), reps=1) * 1e3
         extras["canary_ms"] = round(ms, 2)
         extras["device_state"] = (
-            "good" if ms < 1.5 * _CANARY_GOOD_MS else "degraded")
-        print(f"# canary: {ms:.2f} ms ({extras['device_state']})",
-              file=sys.stderr)
+            "good" if ms < 1.25 * _CANARY_GOOD_MS else "degraded")
+        print(f"# canary: {ms:.2f} ms ({extras['device_state']}), "
+              f"relay rtt {rtt:.1f} ms", file=sys.stderr)
     except Exception as e:  # canary must never sink the bench
         print(f"# canary failed: {e}", file=sys.stderr)
 

@@ -107,23 +107,18 @@ def mk_mxu():
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (NROW, 8, bb)
             Bu = B.astype(jnp.int32).astype(jnp.uint32)
-            # fold byte columns to 16-bit columns
+            # fold byte columns to 16-bit columns and feed the REDC
+            # DIRECTLY (r5 fix: the carry pre-normalization was the
+            # correctness bug; mont_reduce_rows accepts cols < ~2^29)
             cols = []
             for k in range(2 * L + 1):
                 lo = Bu[2 * k]
                 hi = Bu[2 * k + 1] if 2 * k + 1 < NROW else zero
                 cols.append(lo + (hi << 8))
-            # columns can exceed 2^16 scale; normalize carries once
-            carry = zero
-            norm = []
-            for k in range(2 * L + 1):
-                t = cols[k] + carry
-                norm.append(t & MASK)
-                carry = t >> 16
             kr = int_to_limbs((KR[d] * (1 << (16 * L))) % p, L)
             for j in range(L):
-                norm[j] = norm[j] + np.uint32(int(kr[j]))
-            rows = em.mont_reduce_rows(norm, zero)
+                cols[j] = cols[j] + np.uint32(int(kr[j]))
+            rows = em.mont_reduce_rows(cols, zero)
             acc = [acc[i] ^ rows[i] for i in range(L)]
         for i in range(L):
             o_ref[0, i] = acc[i]
