@@ -683,21 +683,35 @@ class InterpreterProgram:
             vec_words[vec] = w
             return w
 
+        atom_words = {}
+
         def atom_word(vec, rot, raws):
             """Aligned word: bit p holds vec[(p + rot) mod 32], by
-            logical shift when no member wraps, ROTR when some do."""
+            logical shift when no member wraps, ROTR when some do.
+            Memoized on (vec, rot, shift directions): sigma-family
+            rotations repeat across gadget families (~1.4k duplicate
+            syntheses on SHA256, ~2 ops each)."""
+            key = (vec, rot, any(r >= 0 for r in raws),
+                   any(r < 0 for r in raws))
+            w = atom_words.get(key)
+            if w is not None:
+                return w
             W = get_vec_word(vec)
             if rot == 0:
+                atom_words[key] = W
                 return W
             lo = emit_n1("nshru", W, rot) \
-                if any(r >= 0 for r in raws) else None
+                if key[2] else None
             hi = emit_n1("nshl", W, 32 - rot) \
-                if any(r < 0 for r in raws) else None
+                if key[3] else None
             if lo is None:
-                return hi
-            if hi is None:
-                return lo
-            return emit_n2("nbor", lo, hi)
+                w = hi
+            elif hi is None:
+                w = lo
+            else:
+                w = emit_n2("nbor", lo, hi)
+            atom_words[key] = w
+            return w
 
         def get_fam_word(fi):
             w = fam_words.get(fi)
