@@ -105,6 +105,8 @@ def vpu_ops_per_witness(prog):
             return 3
         if op == "copyw":
             return 2 * L
+        if op in ("nmshl", "nmshru", "nxbit", "nrotr"):
+            return 2  # fused pairs: mask+shift / extract / rotate
         return 1  # narrow int32 lane ops (incl. nshru/ncopy)
 
     total = 0

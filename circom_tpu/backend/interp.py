@@ -81,7 +81,7 @@ _CMP = {"eq", "neq", "lt", "le", "gt", "ge", "land", "lor"}
 _NARROW_RESULT = (
     {"nmul", "nadd", "nsub", "nsel", "nsel_w", "nband", "nbor", "nbxor",
      "nshl", "nshr", "nshru", "nband_w", "lnot_n", "lnot_w", "nidiv",
-     "ncopy"}
+     "ncopy", "nxbit", "nmshl", "nmshru", "nrotr"}
     | {f"{o}_nn" for o in _CMP} | {f"{o}_ww" for o in _CMP}
 )
 
@@ -95,6 +95,10 @@ _OPERAND_FILES = {
     "nidiv": ("n", "n", "w"), "ncopy": ("n", "n", "w"),
     "nshl": ("n", "w", "w"), "nshr": ("n", "w", "w"),
     "nshru": ("n", "w", "w"),
+    # fused planner ops (r5): bit extract, mask+shift, rotate —
+    # one dispatch instead of two/three on SHA-class hot paths
+    "nxbit": ("n", "w", "w"), "nrotr": ("n", "w", "w"),
+    "nmshl": ("n", "n", "w"), "nmshru": ("n", "n", "w"),
     "nband_w": ("w", "w", "w"), "widen": ("n", "w", "w"),
     "lnot_n": ("n", "w", "w"), "lnot_w": ("w", "w", "w"),
 }
@@ -643,6 +647,11 @@ class InterpreterProgram:
             steps.append((op, a, b, None, nid, None))
             return nid
 
+        def emit_n2i(op, a, b, imm):
+            nid = synth(True)
+            steps.append((op, a, b, None, nid, imm))
+            return nid
+
         def cword(sv):
             return ("nmat", nmat_signed(sv))
 
@@ -661,8 +670,8 @@ class InterpreterProgram:
             if vec[0] == "sum":
                 lo, t_n = splitrep[vec[1]]
                 a = emit_n2("nband", lo, cword(0xffff))
-                b = emit_n2("nband", t_n, cword(0xffff))
-                w = emit_n2("nbor", a, emit_n1("nshl", b, 16))
+                w = emit_n2("nbor", a,
+                            emit_n2i("nmshl", t_n, cword(0xffff), 16))
             else:  # ("in", word index): assemble from input bit nodes
                 bits = bitpack.in_words[vec]
                 parts = [emit_n1("nshl", nform(n), k) if k else nform(n)
@@ -700,16 +709,12 @@ class InterpreterProgram:
             if rot == 0:
                 atom_words[key] = W
                 return W
-            lo = emit_n1("nshru", W, rot) \
-                if key[2] else None
-            hi = emit_n1("nshl", W, 32 - rot) \
-                if key[3] else None
-            if lo is None:
-                w = hi
-            elif hi is None:
-                w = lo
+            if key[2] and key[3]:
+                w = emit_n1("nrotr", W, rot)  # fused rotate (1 step)
+            elif key[2]:
+                w = emit_n1("nshru", W, rot)
             else:
-                w = emit_n2("nbor", lo, hi)
+                w = emit_n1("nshl", W, 32 - rot)
             atom_words[key] = w
             return w
 
@@ -788,8 +793,7 @@ class InterpreterProgram:
             if h is None:
                 fi, p = fam_member[n]
                 W = get_fam_word(fi)
-                v = emit_n1("nshru", W, p) if p else W
-                h = emit_n2("nband", v, cword(1))
+                h = emit_n1("nxbit", W, p)  # fused (W >>u p) & 1
                 scalar_bits[n] = h
             return h
 
@@ -868,8 +872,13 @@ class InterpreterProgram:
                     full = mask == present
                 if not full:
                     sm = mask if mask < (1 << 31) else mask - (1 << 32)
-                    V = emit_n2("nband", V, cword(sm))
-                if d > 0:
+                    if d > 0:
+                        V = emit_n2i("nmshl", V, cword(sm), d)
+                    elif d < 0:
+                        V = emit_n2i("nmshru", V, cword(sm), -d)
+                    else:
+                        V = emit_n2("nband", V, cword(sm))
+                elif d > 0:
                     V = emit_n1("nshl", V, d)
                 elif d < 0:
                     V = emit_n1("nshru", V, -d)
@@ -1896,6 +1905,26 @@ class InterpreterProgram:
                         # logical shift: packed words use all 32 bits
                         return (na.astype(jnp.uint32)
                                 >> aux.astype(jnp.uint32)) \
+                            .astype(jnp.int32)
+                    if op == "nxbit":
+                        # fused bit extract: (a >>u aux) & 1
+                        return ((na.astype(jnp.uint32)
+                                 >> aux.astype(jnp.uint32))
+                                & 1).astype(jnp.int32)
+                    if op == "nmshl":
+                        # fused mask+shift: (a & b) << aux
+                        return (na & rf_n[ib]) << aux
+                    if op == "nmshru":
+                        # fused mask+logical shift: (a & b) >>u aux
+                        return ((na & rf_n[ib]).astype(jnp.uint32)
+                                >> aux.astype(jnp.uint32)) \
+                            .astype(jnp.int32)
+                    if op == "nrotr":
+                        # fused 32-bit rotate right by aux
+                        ua = na.astype(jnp.uint32)
+                        r = aux.astype(jnp.uint32)
+                        return ((ua >> r)
+                                | (ua << (np.uint32(32) - r))) \
                             .astype(jnp.int32)
                     if op == "nband_w":
                         v = rf[ia, 0] & lax.convert_element_type(
