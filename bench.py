@@ -461,6 +461,11 @@ def bench_poseidon(jax, extras, hbm_peak, vpu_peak, emit=None):
 
     best = 0.0
     best_run = None
+    if platform != "cpu" and prog.fused is not None:
+        # raw block-layout output: skips the device-side retile of the
+        # gather result ((W, L, 8, G, bb) is byte-identical to
+        # (W, L, B); the reshape cost 2 full HBM passes)
+        prog.fused.raw_out = True
     for batch in batches:
         cols = [[rng.randrange(p) for _ in range(batch)]
                 for _ in range(prog.n_inputs)]
@@ -472,21 +477,24 @@ def bench_poseidon(jax, extras, hbm_peak, vpu_peak, emit=None):
         t0 = time.time()
         run_fn = jax.jit(prog.jittable()).lower(
             jax.ShapeDtypeStruct(arr.shape, arr.dtype)).compile()
-        out_aval = jax.ShapeDtypeStruct(
-            (prog.n_witness, prog.jf.L, batch), arr.dtype)
-        check_fn = jax.jit(
-            lambda o, e: (o[:, :, 0] == e).all()).lower(
-                out_aval, jax.ShapeDtypeStruct(exp_dev.shape,
-                                               exp_dev.dtype)).compile()
-        # scalar reducer: np.asarray of its output is the only reliable
-        # sync point through the axon relay
-        sync_fn = jax.jit(
-            lambda o: o[:, 0, :].astype(jnp.uint32).sum()).lower(
-                out_aval).compile()
         print(f"# poseidon2 batch {batch}: device compile "
               f"{time.time()-t0:.1f}s", file=sys.stderr)
         t0 = time.time()
         out = run_fn(arr)
+        out_aval = jax.ShapeDtypeStruct(out.shape, out.dtype)
+        # scalar reducer: np.asarray of its output is the only reliable
+        # sync point through the axon relay.  Column 0 of the witness
+        # lives at [..., 0] in (W, L, B) and at [..., 0, 0, 0] in the
+        # raw (W, L, 8, G, bb) block layout — same bytes.
+        col0 = (lambda o: o[:, :, 0, 0, 0]) if out.ndim == 5 \
+            else (lambda o: o[:, :, 0])
+        sync_fn = jax.jit(
+            lambda o: o[:, 0].astype(jnp.uint32).sum()).lower(
+                out_aval).compile()
+        check_fn = jax.jit(
+            lambda o, e: (col0(o) == e).all()).lower(
+                out_aval, jax.ShapeDtypeStruct(exp_dev.shape,
+                                               exp_dev.dtype)).compile()
         np.asarray(sync_fn(out))
         print(f"# poseidon2 batch {batch}: first run {time.time()-t0:.2f}s",
               file=sys.stderr)
@@ -502,7 +510,7 @@ def bench_poseidon(jax, extras, hbm_peak, vpu_peak, emit=None):
             # sustained: R chained runs per dispatch (relay round-trip
             # amortized) — the streaming-production reading
             def feedback(a, out):
-                v = out[0, 0, 0]
+                v = out.reshape(-1)[0]  # layout-agnostic first element
                 return a.at[0, 0, 0].set(v), v
             sust = compile_sustained(jax, prog.jittable(), arr, feedback)
             np.asarray(sust(arr))  # warm
@@ -593,13 +601,17 @@ def bench_sha256(jax, extras, hbm_peak, vpu_peak, emit=None):
     rng = random.Random(99)
     batches = (32768,)  # one program: device-side load costs minutes
     rows_dev = jax.device_put(out_rows)
+    f.raw_out = True   # skip the device-side gather retile (2 HBM passes)
     best = 0.0
     best_run = None
     for batch in batches:
         msgs = [bytes(rng.randrange(256) for _ in range(32))
                 for _ in range(batch)]
         bits = msgs_to_bits_batch(msgs)                  # (512, B)
-        arr = np.zeros((512, prog.jf.L, batch), np.uint32)
+        # all-narrow input set: 2 limbs suffice (interp reads only
+        # limbs 0-1 for the narrow lane) — 8x less transfer/HBM than
+        # the full-limb (512, 16, B) encoding
+        arr = np.zeros((512, 2, batch), np.uint32)
         arr[:, 0, :] = bits
         # expected digest bits (LSB-first per output word), all columns
         exp = digest_bits_batch(msgs)
@@ -609,23 +621,26 @@ def bench_sha256(jax, extras, hbm_peak, vpu_peak, emit=None):
         t0 = time.time()
         run_fn = jax.jit(f._run_mixed).lower(
             jax.ShapeDtypeStruct(arr.shape, arr.dtype)).compile()
-        n_nw = len(nidx)
-        nw_aval = jax.ShapeDtypeStruct((n_nw, batch), jnp.int32)
-        check_fn = jax.jit(
-            lambda nw, rows, e: (jnp.take(nw, rows, axis=0) == e)
-            .all()).lower(
-                nw_aval, jax.ShapeDtypeStruct(rows_dev.shape, jnp.int32),
-                jax.ShapeDtypeStruct(exp_dev.shape, jnp.int32)).compile()
-        sync_fn = jax.jit(lambda nw: nw.sum()).lower(
-            nw_aval).compile()
         print(f"# sha256 batch {batch}: device compile "
               f"{time.time()-t0:.1f}s", file=sys.stderr)
         t0 = time.time()
         nw, _wd = run_fn(arr)
+        nw_aval = jax.ShapeDtypeStruct(nw.shape, nw.dtype)
+        # raw layout (W, 8, G, bb) is byte-identical to (W, B): the
+        # digest check reshapes the EXPECTED bits to the same blocks
+        exp_cmp = exp_dev.reshape((exp.shape[0],) + nw.shape[1:]) \
+            if nw.ndim == 4 else exp_dev
+        check_fn = jax.jit(
+            lambda nw, rows, e: (jnp.take(nw, rows, axis=0) == e)
+            .all()).lower(
+                nw_aval, jax.ShapeDtypeStruct(rows_dev.shape, jnp.int32),
+                jax.ShapeDtypeStruct(exp_cmp.shape, jnp.int32)).compile()
+        sync_fn = jax.jit(lambda nw: nw[0].sum()).lower(
+            nw_aval).compile()
         np.asarray(sync_fn(nw))
         print(f"# sha256 batch {batch}: first run {time.time()-t0:.2f}s",
               file=sys.stderr)
-        ok = check_fn(nw, rows_dev, exp_dev)
+        ok = check_fn(nw, rows_dev, exp_cmp)
         assert bool(ok), f"SHA256 digest mismatch at batch {batch}"
         dt = median_time(lambda: np.asarray(sync_fn(run_fn(arr)[0])),
                          reps=5)
@@ -635,7 +650,7 @@ def bench_sha256(jax, extras, hbm_peak, vpu_peak, emit=None):
               f"per-dispatch wall, median of 5)", file=sys.stderr)
 
         def feedback(a, out):
-            v = out[0][0, 0].astype(jnp.uint32)
+            v = out[0].reshape(-1)[0].astype(jnp.uint32)
             # keep the fed-back element a {0,1} bit: narrow-lane input
             # hints stay valid across chained iterations
             return a.at[0, 0, 0].set(v & 1), v

@@ -156,6 +156,11 @@ class InterpreterProgram:
         # this off under shard_map: manual-DMA kernels inside shard_map
         # regions fail to remote-compile through the axon relay)
         self.pl_gather = True
+        # raw_out=True returns the gather's block layout (W[, L], 8,
+        # G, bb) — byte-identical to (W[, L], B) when B is unpadded —
+        # skipping the device-side retile; bench/streaming consumers
+        # reshape host-side for free
+        self.raw_out = False
         self._jit = None
 
     # ------------------------------------------------------------------
@@ -2169,6 +2174,13 @@ class InterpreterProgram:
             # emission bank (everything is an emission row by plan
             # construction)
             wit = self._unblock_gather_w(flat, idx)
+            if self.raw_out and Bp == B:
+                # (W, L, 8, G, bb): byte-identical to (W, L, B) —
+                # the device-side reshape would RETILE to T(8,128)
+                # over (W, B) (pad + physical transpose, 2 full HBM
+                # passes, ~21 ms on SHA-32k); raw consumers reshape
+                # the fetched bytes for free on the host
+                return wit
             return wit.reshape(len(idx), L, Bp)[..., :B]
         # general path (CPU/interpret, or narrow rows widened into the
         # wide witness): un-block the banks, then XLA gather
@@ -2204,7 +2216,7 @@ class InterpreterProgram:
         :264-271); `_widen_narrow` is the format conversion."""
         L = self.L
         n_in_prog = max(self.n_inputs, 1)
-        _n, _L, B = inputs.shape
+        _n, Lin, B = inputs.shape
         bb = self.lanes
         unit = 8 * bb if (B >= 8 * bb or bb < 128) else 8
         Bp = -(-B // unit) * unit
@@ -2212,16 +2224,22 @@ class InterpreterProgram:
             inputs = jnp.pad(inputs, ((0, 0), (0, 0), (0, Bp - B)))
         B8 = Bp // 8
         bb = min(bb, B8)
-        x = inputs.reshape(n_in_prog, L, 8, B8) if self.n_inputs \
+        # Lin may be < self.L for an all-narrow input set (SHA-class):
+        # only limbs 0-1 feed the narrow lane, so callers can pass a
+        # (n, 2, B) input and skip 8x of dead transfer/HBM
+        x = inputs.reshape(n_in_prog, Lin, 8, B8) if self.n_inputs \
             else jnp.zeros((1, L, 8, B8), jnp.uint32)
         order_w = sorted(self.win_of, key=self.win_of.get)
         order_n = sorted(self.nin_of, key=self.nin_of.get)
-        x_w = x[np.asarray(order_w)] if order_w \
-            else jnp.zeros((1, L, 8, B8), jnp.uint32)
+        if order_w:
+            assert Lin == L, "wide inputs need full-limb input rows"
+            x_w = x[np.asarray(order_w)]
+        else:
+            x_w = jnp.zeros((1, L, 8, B8), jnp.uint32)
         if order_n:
             xs = x[np.asarray(order_n)]
             x_n = xs[:, 0].astype(jnp.int32)
-            if L > 1:
+            if Lin > 1:
                 x_n = x_n | (xs[:, 1].astype(jnp.int32) << LIMB_BITS)
         else:
             x_n = jnp.zeros((1, 8, B8), jnp.int32)
@@ -2240,7 +2258,9 @@ class InterpreterProgram:
             if fast and all(s < n_fn for s in nw_src):
                 narrow = self._unblock_gather_n(flat_n, nw_src,
                                                 nw_shift)
-                narrow = narrow.reshape(len(nw_src), Bp)[:, :B]
+                if not (self.raw_out and Bp == B):
+                    # see _run: the reshape retiles (2 HBM passes)
+                    narrow = narrow.reshape(len(nw_src), Bp)[:, :B]
             else:
                 fn_u = jnp.moveaxis(flat_n, 0, 2).reshape(n_fn, 8, B8)
                 narrow = jnp.take(
