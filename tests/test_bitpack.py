@@ -231,3 +231,20 @@ def test_narrow_word_sum_pass():
             "y": [cols[32 + k][j] for k in range(32)]})
         exp = np.asarray(ints_to_limbs(w, prog.jf.L))
         assert (out[:, :, j] == exp).all(), f"column {j}"
+
+
+def test_narrow_limb_input_rows():
+    """All-narrow input sets accept (n, 2, B) input rows — interp
+    reads only limbs 0-1 for the narrow lane (8x less transfer for
+    SHA-class); witnesses must match the full-limb encoding."""
+    cc, tape, prog = _program()
+    f = prog.fused
+    rng = random.Random(21)
+    B = 16
+    cols = [[rng.randrange(2) for _ in range(B)]
+            for _ in range(tape.n_inputs)]
+    full = np.asarray(prog.encode_inputs(cols))
+    nw1, wd1 = f.run_mixed(full)
+    nw2, wd2 = f.run_mixed(full[:, :2])
+    assert (np.asarray(nw1) == np.asarray(nw2)).all()
+    assert (np.asarray(wd1) == np.asarray(wd2)).all()
