@@ -387,9 +387,12 @@ def median_time(run_sync, reps, windows=5):
 # a 16MiB tile, ~28ms of VPU work in the observed slow state) so that
 # the ~27ms relay round-trip per dispatch cannot mask device-state
 # changes; a single-dispatch canary only measures the relay RTT.
-# Calibration (r5): slow state 55.5ms (~1.6x documented variance);
-# modeled good state ~40ms.
-_CANARY_GOOD_MS = 40.0
+# Calibration (r5): 52-56ms measured across every r5 session,
+# INCLUDING the session where Poseidon2 hit its best-ever 36ms run
+# after the fast-gather regression fix — so ~55ms IS the normal
+# state (much of the r4 "1.6x device-state variance" turned out to
+# be a deterministic fast-gather regression, docs/ROOFLINE.md).
+_CANARY_GOOD_MS = 55.0
 
 
 def run_canary(jax, extras):

@@ -1216,14 +1216,23 @@ class InterpreterProgram:
         # witness value is an emission row: the device-side unblock
         # gather then reads one homogeneous bank (no concatenated
         # input/const side banks, which cost a full extra HBM pass).
+        # consts ride the narrow stream ONLY when the circuit has no
+        # wide emissions (SHA-class): on a wide circuit a single
+        # narrow const row (the witness's constant-1 wire) would make
+        # idx_n non-empty and knock the whole witness off the Pallas
+        # fast gather — ~20 ms of XLA take/reshape glue on
+        # Poseidon2-64k (r5 profile; this was a silent r4 regression)
+        has_wide_emit = any(st[4] in out_set
+                            and st[0] not in _NARROW_RESULT
+                            for st in steps)
         for nid in dict.fromkeys(self.xt.out_ids):
             k = xt.kind[nid]
             if k == "compute":
                 continue
             if k == "const":
                 v = xt.cval[nid]
-                if nfits(v):
-                    # int32-fitting consts ride the narrow stream: a
+                if nfits(v) and not has_wide_emit:
+                    # int32-fitting consts on the narrow stream: a
                     # wide copy would open a wide emission buffer
                     # (2(K+2)L VMEM tiles) just for them on otherwise
                     # pure-narrow circuits (SHA)
