@@ -899,6 +899,8 @@ def main():
             break
     if platform != "cpu":
         run_canary(jax, extras)
+        emit()  # earliest record line: device/canary state is on file
+                # even if the run dies during the first workload
 
     # CPU baselines: instant on cache hit; on a miss, defer the
     # ~3-minute measurement until after the first TPU number has
