@@ -247,8 +247,10 @@ print(json.dumps(out))
 
 
 def _cpu_baseline_key():
-    """Cache key: the baseline only changes when the native runtime or
-    the measurement snippet changes (VERDICT r4 task 1c)."""
+    """Cache key: the baseline only changes when the native runtime,
+    the measurement snippet, or the MACHINE changes — the CPU model
+    string is part of the key so a committed cache file is never
+    silently reused as another machine's "measured" baseline."""
     import hashlib
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -258,7 +260,28 @@ def _cpu_baseline_key():
         h.update(f.read())
     h.update(_CPU_BASELINE_SNIPPET.encode())
     h.update(str(os.cpu_count()).encode())
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    h.update(line.encode())
+                    break
+    except OSError:
+        pass
     return h.hexdigest()[:16]
+
+
+def _read_cpu_baseline_cache():
+    """Load the cached baselines if the key matches, else None."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, ".ctpu_cpu_baseline.json")) as f:
+            c = json.load(f)
+        if c.get("key") == _cpu_baseline_key():
+            return c["values"]
+    except (OSError, ValueError, KeyError):
+        pass
+    return None
 
 
 def measure_cpu_baselines():
@@ -267,15 +290,10 @@ def measure_cpu_baselines():
     ~3-minute measurement."""
     here = os.path.dirname(os.path.abspath(__file__))
     cache_path = os.path.join(here, ".ctpu_cpu_baseline.json")
-    key = _cpu_baseline_key()
-    try:
-        with open(cache_path) as f:
-            cached = json.load(f)
-        if cached.get("key") == key:
-            print("# cpu baselines loaded from cache", file=sys.stderr)
-            return cached["values"]
-    except (OSError, ValueError, KeyError):
-        pass
+    cached = _read_cpu_baseline_cache()
+    if cached is not None:
+        print("# cpu baselines loaded from cache", file=sys.stderr)
+        return cached
     r = subprocess.run(
         [sys.executable, "-c", _CPU_BASELINE_SNIPPET],
         capture_output=True, text=True, timeout=1800,
@@ -287,7 +305,7 @@ def measure_cpu_baselines():
     vals = json.loads(r.stdout.strip().splitlines()[-1])
     try:
         with open(cache_path, "w") as f:
-            json.dump({"key": key, "values": vals}, f)
+            json.dump({"key": _cpu_baseline_key(), "values": vals}, f)
     except OSError:
         pass
     return vals
@@ -905,15 +923,7 @@ def main():
     # CPU baselines: instant on cache hit; on a miss, defer the
     # ~3-minute measurement until after the first TPU number has
     # been emitted (number-first ordering, VERDICT r4 task 1c)
-    cached_cpu = None
-    here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        with open(os.path.join(here, ".ctpu_cpu_baseline.json")) as fh:
-            c = json.load(fh)
-        if c.get("key") == _cpu_baseline_key():
-            cached_cpu = c["values"]
-    except (OSError, ValueError, KeyError):
-        pass
+    cached_cpu = _read_cpu_baseline_cache()
     if cached_cpu is not None:
         cpu.update(cached_cpu)
         print(f"# cpu baselines (cached): {cpu}", file=sys.stderr)

@@ -844,6 +844,12 @@ class InterpreterProgram:
                 (sk, p) = src[0], src[1]
                 d = c.bit_length() - 1 - p     # weight k = p + d
                 g = groups.setdefault((sk, d), [0, [], []])
+                if g[0] & (1 << p):
+                    # DUPLICATED term (same bit, same weight — e.g. a
+                    # source-level `x + x`): a mask bit can only count
+                    # it once, so extra occurrences stay scalar
+                    rest.append(it)
+                    continue
                 g[0] |= 1 << p
                 g[1].append(p)
                 g[2].append(it)

@@ -402,6 +402,13 @@ class Executor:
         # interpreted once and replayed by node-id substitution after.
         self.tape_memo = {}
         self.bus_memo = {}             # (bus, params) -> BusLayout
+        # per-component-instance record of which assignment SCOPES ran
+        # the strict input-tag check: {id(cs): {sig: set(field_path)}}
+        # — the analog of the reference's unassigned_tags drain
+        # (component_representation.rs:17,719-723): a tag whose level
+        # was never covered by an assignment is an unfulfilled
+        # obligation even when every LEAF got assigned field-wise
+        self._tag_cover = {}
         self.warnings = []
 
     # -- entry points ---------------------------------------------------
@@ -1725,14 +1732,19 @@ class Executor:
         # tagged inputs: the assigned expression must carry the tags;
         # collected values become part of the instance identity.
         if decl.tags and rhe_ast is not None:
+            tpath = self._access_field_path(decl, rest_access)
             self._check_and_inherit_tags(
                 decl, rhe_ast, frame, meta, strict=True,
-                target_path=self._access_field_path(decl, rest_access))
+                target_path=tpath)
             cs.input_tag_values[sig_name] = dict(decl.tag_values)
+            self._tag_cover.setdefault(id(cs), {}).setdefault(
+                sig_name, set()).add(tpath)
         count = self._store_signal_elements(
             decl, start, count, value, op, frame, meta, prefix=prefix)
         cs.inputs_remaining -= count
         if cs.inputs_remaining == 0:
+            if self.mode == "constrain":
+                self._check_input_tags_covered(cs, meta)
             if self.mode == "constrain":
                 if cs.node_id is None:
                     self._finish_deferred_instantiation(cs, frame, meta)
@@ -1742,6 +1754,27 @@ class Executor:
                 if cs.node_id is None:
                     self._resolve_witness_node(cs, meta)
                 self._execute_child_witness(cs)
+
+    def _check_input_tags_covered(self, cs, meta):
+        """Every declared tag of every input must have been within the
+        scope of at least one strict tag check — a tagged input (or a
+        bus with a wire-level tag) assigned only FIELD-WISE leaves the
+        higher-level tag obligation unfulfilled, which the reference
+        surfaces by never draining unassigned_tags
+        (component_representation.rs:766-767, :719-723)."""
+        cover = self._tag_cover.get(id(cs), {})
+        for name, decl in cs.signals.items():
+            if decl.xtype != A.SignalType.INPUT or not decl.tags:
+                continue
+            scopes = cover.get(name, set())
+            for t in decl.tags:
+                if not any(s == "" or t.startswith(s + ".")
+                           for s in scopes):
+                    raise err(
+                        f"input '{decl.name}' declares tag '{t}' but "
+                        "no assignment covered the tag's level (a "
+                        "field-wise assignment cannot satisfy a "
+                        "higher-level tag obligation)", "T2040", meta)
 
     def _execute_child_witness(self, cs: ComponentState):
         inputs = {

@@ -149,13 +149,14 @@ class BusLayout:
     """
 
     __slots__ = ("bus_name", "params_key", "fields", "size", "_offsets",
-                 "field_tags")
+                 "field_tags", "_segcache")
 
     def __init__(self, bus_name, params_key, fields, field_tags=None):
         self.bus_name = bus_name
         self.params_key = params_key
         self.fields = fields
         self.field_tags = field_tags or {}
+        self._segcache = {}
         self._offsets = {}
         off = 0
         for (name, dims, sub) in fields:
@@ -207,7 +208,13 @@ class BusLayout:
         arrayed bus field contributes one segment per element of that
         array — tags are per-field across all positions ("only have a
         tag in case it inherits the tag in all positions",
-        assignment_utils.rs:50).  Returns None for an unknown path."""
+        assignment_utils.rs:50).  Returns None for an unknown path.
+        Memoized: layouts are immutable and shared per bus instance,
+        and per-field tag gating asks for the same path on every
+        assignment of a bus-array wire."""
+        hit = self._segcache.get(path, False)
+        if hit is not False:
+            return hit
         parts = path.split(".")
         layout = self
         base_offsets = [0]
@@ -227,9 +234,12 @@ class BusLayout:
                 for e in range(n_el):
                     new_offsets.append(b + off + e * el_size)
             if k == len(parts) - 1:
-                return [(b, el_size) for b in new_offsets]
+                segs = [(b, el_size) for b in new_offsets]
+                self._segcache[path] = segs
+                return segs
             base_offsets = new_offsets
             layout = sub
+        self._segcache[path] = None
         return None
 
 

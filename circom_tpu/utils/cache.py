@@ -37,7 +37,12 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     if _enabled:
         return jax.config.jax_compilation_cache_dir or _DEFAULT_DIR
     d = cache_dir or _DEFAULT_DIR
-    os.makedirs(d, exist_ok=True)
+    try:
+        os.makedirs(d, exist_ok=True)
+    except OSError:
+        # unwritable HOME/cache dir (restricted container): degrade to
+        # uncached compilation instead of aborting the run
+        return d
     jax.config.update("jax_compilation_cache_dir", d)
     # cache everything: the big wins are the 200s+ Mosaic compiles,
     # but tiny programs (sync/check reducers) also add up at startup

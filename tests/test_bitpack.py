@@ -248,3 +248,41 @@ def test_narrow_limb_input_rows():
     nw2, wd2 = f.run_mixed(full[:, :2])
     assert (np.asarray(nw1) == np.asarray(nw2)).all()
     assert (np.asarray(wd1) == np.asarray(wd2)).all()
+
+
+def test_duplicated_lincomb_term_stays_exact():
+    """A term repeated in a bit-lincomb (`... + g[0]*1 + g[0]*1`)
+    cannot be represented by one packed-word mask bit — duplicates
+    must fall back to scalar terms (r5 review finding: the grouped
+    emission silently counted them once)."""
+    src = """
+pragma circom 2.0.0;
+template T() {
+    signal input a[64];
+    signal g[32];
+    signal output s;
+    signal output s2;
+    for (var k = 0; k < 64; k++) { a[k] * (a[k] - 1) === 0; }
+    var lc = 0;
+    for (var k = 0; k < 32; k++) {
+        g[k] <== a[k] + a[32+k] - 2*a[k]*a[32+k];
+        lc += g[k] * 2 ** k;
+    }
+    s <== lc + g[0]*1 + g[0]*1 + a[0];
+    s2 <== lc + a[1];
+}
+component main = T();
+"""
+    cc = compile_source(src, prime=PRIME)
+    tape, _ = cc.build_tape()
+    prog = WitnessProgram(tape, SPEC, unroll_threshold=0, mode="interp",
+                          input_ranges=cc.input_range_hints())
+    rng = random.Random(4)
+    B = 8
+    cols = [[rng.randrange(2) for _ in range(B)]
+            for _ in range(tape.n_inputs)]
+    out = np.asarray(prog.run(prog.encode_inputs(cols)))
+    for j in range(B):
+        w = cc.witness_host({"a": [cols[k][j] for k in range(64)]})
+        exp = np.asarray(ints_to_limbs(w, prog.jf.L))
+        assert (out[:, :, j] == exp).all(), f"column {j}"

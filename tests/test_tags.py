@@ -449,3 +449,57 @@ template Main() {
 component main = Main();
 """
     expect(src, "T2048")  # x.binary has no value after intersection
+
+
+def test_wire_level_bus_tag_not_satisfiable_field_wise():
+    """A wire-level tag on an input bus is an obligation at the WIRE
+    level: assigning every field individually never runs the wire-level
+    check, so the obligation stays unfulfilled — the reference's
+    unassigned_tags never drains (component_representation.rs:719-723)
+    and here it reports T2040 when the inputs complete."""
+    src = P + """
+bus Point() { signal x; signal y; }
+template Sub() {
+    input Point() {goodpoint} p;
+    signal output out;
+    out <== p.x + p.y;
+}
+template Main() {
+    signal input a;
+    signal input b;
+    component c = Sub();
+    c.p.x <== a;
+    c.p.y <== b;
+    signal output out <== c.out;
+}
+component main = Main();
+"""
+    expect(src, "T2040")
+
+
+def test_wire_level_bus_tag_satisfied_whole_bus():
+    """Control: the same input accepts a whole-bus assignment from a
+    source carrying the wire-level tag."""
+    src = P + """
+bus Point() { signal x; signal y; }
+template Mk() {
+    signal input a;
+    output Point() {goodpoint} o;
+    o.x <== a; o.y <== a + 1;
+}
+template Sub() {
+    input Point() {goodpoint} p;
+    signal output out;
+    out <== p.x + p.y;
+}
+template Main() {
+    signal input a;
+    component m = Mk();
+    m.a <== a;
+    component c = Sub();
+    c.p <== m.o;
+    signal output out <== c.out;
+}
+component main = Main();
+"""
+    assert reports_of(src) == []
