@@ -853,10 +853,12 @@ def main():
     from circom_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    tpu_fallback = False
     if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) \
             and not _tpu_alive():
         print("# TPU device init unavailable; falling back to CPU",
               file=sys.stderr)
+        tpu_fallback = True
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
@@ -875,6 +877,10 @@ def main():
 
     extras = {}
     cpu = {}
+    if tpu_fallback:
+        # an official record produced on the CPU fallback must be
+        # unmistakable: these are NOT chip numbers
+        extras["tpu_fallback_cpu"] = True
 
     def emit(partial=True):
         """Print the full cumulative record as one JSON line.  Called
